@@ -1,0 +1,311 @@
+"""Graph construction: url->vid assignment, dedup, self-loops, degrees, and
+the persistent hash-partitioned edge layout that the PageRank actors pin.
+
+Reference lifecycle being re-expressed (``main.cxx:232-245``):
+  readMtxOmpW (parallel parse + owner-insert partitioning, ``src/mtx.hxx:91-158``)
+  -> selfLoopOmp on every vertex (``main.cxx:240``, ``src/selfLoop.hxx:57-69``)
+  -> transposeWithDegreeOmp (``src/transpose.hxx:70-89``).
+
+Ray-Data shape: edge Dataset -> dedup (groupby shuffle with per-batch Arrow
+distinct combiner) -> self-loop union -> degree aggregate (per-batch bincount
+partials, then a small groupby) -> one shuffle per persistent layout:
+  edges_in/part=p   : edges hash-partitioned by dst % P  (rank pull side)
+  edges_out/part=p  : edges hash-partitioned by src % P  (frontier expansion)
+  degrees/part=p    : (vid, deg) by vid % P              (owner-local outdeg)
+plus ``lineage.json`` carrying {n_vertices, n_edges, num_partitions, ...} so a
+restarted job reopens the exact layout (resumable: each part=p dir is written
+once; rebuilds skip directories already present unless overwrite=True).
+
+Ownership is modular: vertex v belongs to partition v % P with local slot
+v // P — O(1) arithmetic, the distributed analogue of the reference's
+``belongsOmp`` chunked round-robin ownership (``src/_openmp.hxx:15-26``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.indexing import sorted_zip_with_index
+
+# Above this many vertices the url->vid map is attached with a distributed
+# hash join instead of a driver broadcast (the broadcast array would not fit
+# a worker heap).
+BROADCAST_VERTEX_LIMIT = 20_000_000
+
+
+# ---------------------------------------------------------------------------
+# vertex table / id assignment
+# ---------------------------------------------------------------------------
+
+def vertex_table(edge_urls):
+    """Distinct urls over src+dst -> (url, vid) with dense sorted-url vids.
+
+    Mirrors the reference's key remap (``src/csr.hxx:40-51``) but computed as
+    Ray shuffles: per-batch Arrow distinct -> global groupby distinct ->
+    sort + zip_with_index.  Returns (vertices_ds, n_vertices).
+    """
+
+    def both_cols(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [batch["src_url"].combine_chunks(), batch["dst_url"].combine_chunks()]
+        )
+        t = pa.table({"url": u})
+        return t.group_by(["url"]).aggregate([])  # per-batch distinct combiner
+
+    urls = edge_urls.map_batches(both_cols, batch_format="pyarrow")
+    distinct = urls.groupby("url").aggregate(Count(alias_name="_n")).select_columns(["url"])
+    return sorted_zip_with_index(distinct, "url", "vid")
+
+
+def edges_to_vids(edge_urls, vertices, n_vertices: int):
+    """(src_url, dst_url) -> (src, dst) uint64 via the vertex table.
+
+    Small side (< BROADCAST_VERTEX_LIMIT): broadcast the sorted url array once
+    with ``ray.put`` and vectorize the lookup with ``np.searchsorted`` per
+    batch (vid == index in sorted order by construction).  Large side: two
+    hash joins on url (Ray ``Dataset.join``), the scale path.
+    """
+    if n_vertices <= BROADCAST_VERTEX_LIMIT:
+        urls_sorted = vertices.sort("vid").to_pandas()["url"].to_numpy(dtype=object)
+        ref = ray.put(urls_sorted)
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            table = ray.get(ref)
+            s = np.searchsorted(table, batch["src_url"].to_numpy(zero_copy_only=False))
+            d = np.searchsorted(table, batch["dst_url"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "src": pa.array(s.astype(np.uint64)),
+                    "dst": pa.array(d.astype(np.uint64)),
+                }
+            )
+
+        return edge_urls.map_batches(lookup, batch_format="pyarrow")
+
+    # scale path: distributed hash joins
+    v_src = vertices.rename_columns({"url": "src_url", "vid": "src"})
+    v_dst = vertices.rename_columns({"url": "dst_url", "vid": "dst"})
+    joined = edge_urls.join(v_src, join_type="inner", on=("src_url",), num_partitions=64)
+    joined = joined.join(v_dst, join_type="inner", on=("dst_url",), num_partitions=64)
+    return joined.select_columns(["src", "dst"])
+
+
+# ---------------------------------------------------------------------------
+# edge-table algebra
+# ---------------------------------------------------------------------------
+
+def _batch_distinct(batch: pa.Table) -> pa.Table:
+    """Per-batch (src, dst) distinct — Arrow-native combiner before the
+    global dedup shuffle (reference dedup is sorted-set union keeping last,
+    ``src/_algorithm.hxx:327`` via ``src/_bitset.hxx:198``)."""
+    return batch.group_by(["src", "dst"]).aggregate([])
+
+
+_EDGE_SCHEMA = pa.schema([("src", pa.uint64()), ("dst", pa.uint64())])
+
+
+def _cast_edges(batch: pa.Table) -> pa.Table:
+    return batch.select(["src", "dst"]).cast(_EDGE_SCHEMA)
+
+
+def dedup_edges(edges):
+    """Exact (src, dst) dedup: per-batch distinct, then one groupby shuffle.
+    Output normalized to uint64 (Ray's hash aggregate re-types key columns)."""
+    pre = edges.map_batches(_batch_distinct, batch_format="pyarrow")
+    return (
+        pre.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(_cast_edges, batch_format="pyarrow")
+    )
+
+
+def self_loop_table(n_vertices: int):
+    """(v, v) for every vertex — ``selfLoopOmp`` (``src/selfLoop.hxx:57-69``)."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["id"], pa.uint64())
+        return pa.table({"src": ids, "dst": ids})
+
+    return rd.range(n_vertices).map_batches(to_edges, batch_format="pyarrow")
+
+
+def add_self_loops(edges, n_vertices: int):
+    """Union self-loops onto an edge table without a second dedup: drop any
+    existing loops, dedup the rest, union the complete loop set."""
+    no_loops = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    )
+    return dedup_edges(no_loops).union(self_loop_table(n_vertices))
+
+
+def out_degrees(edges):
+    """(vid, deg): out-degree per src.  Per-batch bincount partials (combiner)
+    -> small groupby sum (``transposeWithDegree`` degree side,
+    ``src/transpose.hxx:52-67``)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        vids, counts = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "vid": pa.array(vids.astype(np.uint64)),
+                "deg_part": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("vid").aggregate(Sum("deg_part", alias_name="deg"))
+    return agg.select_columns(["vid", "deg"])
+
+
+def transpose(edges):
+    """Reverse every edge — ``transposeOmp`` (``src/transpose.hxx:28-44``).
+    A pure column rename: zero shuffle, zero copy."""
+    return edges.select_columns(["dst", "src"]).rename_columns(
+        {"dst": "src", "src": "dst"}
+    )
+
+
+def self_loop_count(edges) -> int:
+    """``selfLoopCount`` (``src/selfLoop.hxx:10-36``)."""
+    return edges.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([pc.sum(pc.equal(t["src"], t["dst"])).as_py() or 0])}
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+
+
+# ---------------------------------------------------------------------------
+# persistent partitioned layout
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GraphLayout:
+    """Handle to a built graph on disk (the engine's unit of lineage)."""
+
+    path: str
+    n_vertices: int
+    n_edges: int
+    num_partitions: int
+
+    @property
+    def edges_in(self) -> str:
+        return os.path.join(self.path, "edges_in")
+
+    @property
+    def edges_out(self) -> str:
+        return os.path.join(self.path, "edges_out")
+
+    @property
+    def degrees(self) -> str:
+        return os.path.join(self.path, "degrees")
+
+    def save(self) -> None:
+        with open(os.path.join(self.path, "lineage.json"), "w") as f:
+            json.dump(
+                {
+                    "n_vertices": self.n_vertices,
+                    "n_edges": self.n_edges,
+                    "num_partitions": self.num_partitions,
+                    "layout": ["edges_in", "edges_out", "degrees"],
+                },
+                f,
+                indent=2,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "GraphLayout":
+        with open(os.path.join(path, "lineage.json")) as f:
+            m = json.load(f)
+        return cls(path, m["n_vertices"], m["n_edges"], m["num_partitions"])
+
+
+def _write_partitioned(ds, path: str, key: str, num_partitions: int) -> None:
+    """Hash-partition by ``key % P`` and write hive-partitioned Parquet
+    (one ``part=p`` directory per partition: the resumable unit)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        part = pa.array((k % num_partitions).astype(np.int32))
+        return batch.append_column("part", part)
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["part"]
+    )
+
+
+def build_graph(
+    edges,
+    out_dir: str,
+    num_partitions: int,
+    n_vertices: int | None = None,
+    add_loops: bool = True,
+    overwrite: bool = True,
+) -> GraphLayout:
+    """Edge Dataset (src, dst uint64) -> persistent partitioned graph layout.
+
+    Follows ``main.cxx:237-241``: dedup (set semantics of ``addEdge``), add a
+    self-loop on every vertex, compute out-degrees, lay out by dst (pull side)
+    and by src (frontier side).  ``n_vertices`` defaults to max(vid)+1 (the
+    reference's ``span()``, ``src/Graph.hxx:35``); all ids in [0, n) exist as
+    vertices (dense id space from :func:`vertex_table`).
+    """
+    if overwrite and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if n_vertices is None:
+        mx = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "m": pa.array(
+                        [max(pc.max(t["src"]).as_py() or 0, pc.max(t["dst"]).as_py() or 0)]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).max("m")
+        n_vertices = int(mx) + 1
+
+    final = add_self_loops(edges, n_vertices) if add_loops else dedup_edges(edges)
+    # One pass per layout; the dedup'd table is re-used via lineage (no
+    # driver materialization).  Persist it once to avoid recomputing the
+    # dedup shuffle three times.
+    final = final.materialize()
+
+    _write_partitioned(final, os.path.join(out_dir, "edges_in"), "dst", num_partitions)
+    _write_partitioned(final, os.path.join(out_dir, "edges_out"), "src", num_partitions)
+    _write_partitioned(
+        out_degrees(final), os.path.join(out_dir, "degrees"), "vid", num_partitions
+    )
+    n_edges = final.count()
+
+    layout = GraphLayout(out_dir, int(n_vertices), int(n_edges), num_partitions)
+    layout.save()
+    return layout
+
+
+def build_graph_from_pages(pages, out_dir: str, num_partitions: int) -> GraphLayout:
+    """pages Dataset -> extract links -> vertex ids -> built graph layout.
+    Also writes the vertex table (url, vid) under ``{out}/vertices``."""
+    from ..functions.extract import extract_links
+
+    edge_urls = extract_links(pages).materialize()
+    vertices, n_vertices = vertex_table(edge_urls)
+    vertices = vertices.materialize()
+    edges = edges_to_vids(edge_urls, vertices, n_vertices)
+    layout = build_graph(edges, out_dir, num_partitions, n_vertices=n_vertices)
+    vertices.write_parquet(os.path.join(out_dir, "vertices"))
+    return layout

@@ -1,0 +1,53 @@
+"""Ingest tests: corpus determinism, extraction byte-identity, link parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_ray.functions.extract import (
+    extract_links,
+    extract_links_batch,
+    extract_text_bytes,
+    extract_texts,
+)
+from pagerank_barrierfree_openmp_dynamic_ray.sources.pages import (
+    pages_table,
+    page_url,
+)
+
+
+def test_generator_deterministic_and_chunk_independent():
+    a = pages_table(0, 50, 1000)
+    b = pa.concat_tables([pages_table(0, 20, 1000), pages_table(20, 50, 1000)])
+    assert a.equals(b)
+
+
+def test_text_extraction_byte_identity_small():
+    t = pages_table(0, 200, 1000)
+    for html, text in zip(t["html"].to_pylist(), t["text"].to_pylist()):
+        assert extract_text_bytes(html) == text.encode()
+
+
+def test_degree_skew_and_links_in_range():
+    t = pages_table(0, 500, 1000)
+    e = extract_links_batch(t)
+    assert e.num_rows > 0
+    # every dst is a valid page url of the corpus
+    urls = {page_url(k) for k in range(1000)}
+    assert set(e["dst_url"].to_pylist()) <= urls
+
+
+def test_extraction_on_dataset(ray_session, pages_1k):
+    import ray.data as rd
+
+    pages = rd.read_parquet(pages_1k)
+    # byte-identity over the whole corpus, computed distributed
+    got = extract_texts(pages).to_pandas().set_index("url")["text"]
+    want = pages.select_columns(["url", "text"]).to_pandas().set_index("url")["text"]
+    assert got.sort_index().equals(want.sort_index())
+
+    edges = extract_links(pages)
+    n = edges.count()
+    # exact parity with the per-table extraction
+    local = extract_links_batch(pages_table(0, 1000, 1000)).num_rows
+    assert n == local

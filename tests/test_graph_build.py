@@ -1,0 +1,117 @@
+"""Graph construction: ids, dedup, self-loops, degrees, partitioned layout."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build as gb
+
+
+def _edges_ds(src, dst):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.asarray(src, dtype=np.uint64)),
+                "dst": pa.array(np.asarray(dst, dtype=np.uint64)),
+            }
+        )
+    )
+
+
+def _read_layout_edges(layout, which="edges_in"):
+    t = pq.read_table(getattr(layout, which))
+    return (
+        t["src"].to_numpy().astype(np.uint64),
+        t["dst"].to_numpy().astype(np.uint64),
+    )
+
+
+def test_dedup_and_self_loops(ray_session, tiny_graph, tmp_path):
+    src, dst, n = tiny_graph
+    # duplicate every edge to exercise dedup
+    ds = _edges_ds(np.concatenate([src, src]), np.concatenate([dst, dst]))
+    layout = gb.build_graph(ds, str(tmp_path / "g"), num_partitions=3, n_vertices=n)
+    assert layout.n_vertices == n
+    # 6 real edges + 7 self-loops
+    assert layout.n_edges == 13
+    s, d = _read_layout_edges(layout)
+    assert len(s) == 13
+    pairs = set(zip(s.tolist(), d.tolist()))
+    assert len(pairs) == 13
+    for v in range(n):
+        assert (v, v) in pairs
+
+
+def test_degrees_after_self_loops(ray_session, tiny_graph, tmp_path):
+    src, dst, n = tiny_graph
+    layout = gb.build_graph(
+        _edges_ds(src, dst), str(tmp_path / "g"), num_partitions=2, n_vertices=n
+    )
+    t = pq.read_table(layout.degrees)
+    deg = np.zeros(n, dtype=np.int64)
+    deg[t["vid"].to_numpy().astype(np.int64)] = t["deg"].to_numpy()
+    # outdeg = real out-edges + 1 self-loop
+    want = np.bincount(np.asarray(src, dtype=np.int64), minlength=n) + 1
+    np.testing.assert_array_equal(deg, want)
+
+
+def test_partitioning_is_modular(ray_session, tiny_graph, tmp_path):
+    src, dst, n = tiny_graph
+    P = 3
+    layout = gb.build_graph(
+        _edges_ds(src, dst), str(tmp_path / "g"), num_partitions=P, n_vertices=n
+    )
+    for p in range(P):
+        d_in = os.path.join(layout.edges_in, f"part={p}")
+        if os.path.isdir(d_in):
+            t = pq.read_table(d_in)
+            assert (t["dst"].to_numpy().astype(np.uint64) % P == p).all()
+        d_out = os.path.join(layout.edges_out, f"part={p}")
+        if os.path.isdir(d_out):
+            t = pq.read_table(d_out)
+            assert (t["src"].to_numpy().astype(np.uint64) % P == p).all()
+    # reload round-trips
+    l2 = gb.GraphLayout.load(str(tmp_path / "g"))
+    assert (l2.n_vertices, l2.n_edges, l2.num_partitions) == (
+        layout.n_vertices,
+        layout.n_edges,
+        layout.num_partitions,
+    )
+
+
+def test_transpose_and_selfloop_count(ray_session, tiny_graph):
+    src, dst, n = tiny_graph
+    ds = _edges_ds(src, dst)
+    tr = gb.transpose(ds).to_pandas()
+    assert set(zip(tr["src"], tr["dst"])) == set(
+        zip(dst.tolist(), src.tolist())
+    )
+    assert gb.self_loop_count(ds) == 0
+    withloops = gb.add_self_loops(ds, n)
+    assert gb.self_loop_count(withloops) == n
+
+
+def test_pages_to_graph_end_to_end(ray_session, pages_1k, tmp_path):
+    import ray.data as rd
+
+    pages = rd.read_parquet(pages_1k)
+    layout = gb.build_graph_from_pages(pages, str(tmp_path / "g"), num_partitions=4)
+    # vertex table covers all 1000 pages (every page is somebody's src or dst
+    # is not guaranteed; but dst space is [0, n_pages) so vertices <= 1000)
+    vt = pq.read_table(os.path.join(layout.path, "vertices"))
+    assert 0 < layout.n_vertices <= 1000
+    assert vt.num_rows == layout.n_vertices
+    # vids dense 0..n-1, urls sorted
+    vids = np.sort(vt["vid"].to_numpy().astype(np.int64))
+    np.testing.assert_array_equal(vids, np.arange(layout.n_vertices))
+    urls = vt.to_pandas().sort_values("vid")["url"].tolist()
+    assert urls == sorted(urls)
+    # every vertex has a self-loop -> outdeg >= 1
+    t = pq.read_table(layout.degrees)
+    assert t.num_rows == layout.n_vertices
+    assert (t["deg"].to_numpy() >= 1).all()
