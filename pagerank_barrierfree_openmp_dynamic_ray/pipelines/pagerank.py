@@ -1,0 +1,270 @@
+"""The PageRank operator family over partitioned CSR actors.
+
+Re-expresses the six public entry points invoked at ``main.cxx:209-225``:
+
+| reference                                           | here                              |
+|-----------------------------------------------------|-----------------------------------|
+| pagerankBasicOmp (static)                           | run(mode="barrier")               |
+| pagerankBasicOmp with q (naive-dynamic)             | run(mode="barrier", q=...)        |
+| pagerankBasicDynamicFrontierOmp                     | run(mode="barrier", frontier=...) |
+| pagerankBarrierfreeOmp<true> (static)               | run(mode="barrierfree")           |
+| pagerankBarrierfreeOmp<true> warm-start             | run(mode="barrierfree", q=...)    |
+| pagerankBarrierfreeDynamicFrontierOmp<true>         | run(mode="barrierfree", frontier=...) |
+
+Defaults mirror ``PagerankOptions`` (`src/pagerank.hxx:50`): damping 0.85,
+L-inf tolerance 1e-10, max 500 iterations; the frontier expansion threshold is
+``D = 0.001 * tolerance`` (`src/pagerankBasic.hxx:174-185`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import ray
+
+from ..stages.graph_build import GraphLayout
+from ..state.checkpoint import read_lineage, write_lineage
+from ..state.partition_actor import CsrPartitionActor, RankBoard
+
+
+@dataclass
+class PageRankResult:
+    """Engine analogue of ``PagerankResult`` (`src/pagerank.hxx:60-76`)."""
+
+    ranks: np.ndarray  # dense, indexed by vid
+    iterations: int
+    wall_s: float
+    residual: float
+    mode: str
+    variant: str
+    stats: dict = field(default_factory=dict)
+
+    def top_k(self, k: int) -> list[tuple[int, float]]:
+        idx = np.argsort(-self.ranks, kind="stable")[:k]
+        return [(int(i), float(self.ranks[i])) for i in idx]
+
+
+@dataclass
+class Frontier:
+    """Dynamic-update descriptor: the old graph layout plus the applied
+    deletion/insertion batches (endpoint arrays, global vids)."""
+
+    old_layout: GraphLayout
+    del_src: np.ndarray
+    ins_src: np.ndarray
+
+
+class PageRankEngine:
+    """Actor-pool PageRank over a built :class:`GraphLayout`.
+
+    One actor per partition, created once (CSR build amortized across all
+    subsequent runs — static, dynamic, with-barrier, barrier-free).
+    """
+
+    def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0):
+        self.layout = layout
+        self.P = layout.num_partitions
+        self.n = layout.n_vertices
+        self.actors = [
+            CsrPartitionActor.options(num_cpus=num_cpus_per_actor).remote(
+                layout.path, pid
+            )
+            for pid in range(self.P)
+        ]
+        self.owned = ray.get([a.ready.remote() for a in self.actors])
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    # ------------------------------------------------------------------
+    def _scatter_q(self, q: np.ndarray | None):
+        """Warm-start ranks -> owner shards (vid % P owns, slot vid // P)."""
+        if q is None:
+            ray.get([a.init_ranks.remote(None) for a in self.actors])
+        else:
+            ray.get(
+                [
+                    a.init_ranks.remote(np.ascontiguousarray(q[p:: self.P]))
+                    for p, a in enumerate(self.actors)
+                ]
+            )
+
+    def _seed_frontier(self, fr: Frontier) -> None:
+        """vaff seeding (`src/pagerank.hxx:386-391`): out-neighbors of
+        deletion sources in the OLD graph, of insertion sources in the NEW
+        graph.  Old-graph adjacency is read from the old layout's
+        ``edges_out`` partitions (only the parts owning a deletion source)."""
+        marks = []
+        ds = np.unique(np.asarray(fr.del_src, dtype=np.int64))
+        if len(ds):
+            marks.append(out_neighbors_from_layout(fr.old_layout, ds))
+        ins = np.unique(np.asarray(fr.ins_src, dtype=np.int64))
+        if len(ins):
+            futs = []
+            for p in np.unique(ins % self.P):
+                futs.append(
+                    self.actors[int(p)].out_neighbors_of.remote(ins[ins % self.P == p])
+                )
+            marks.extend(ray.get(futs))
+        if marks:
+            vids = np.unique(np.concatenate(marks)).astype(np.int64)
+            vids = vids[vids < self.n]
+            futs = []
+            for p in range(self.P):
+                mine = vids[vids % self.P == p] // self.P
+                if len(mine):
+                    futs.append(self.actors[p].mark_affected.remote(mine))
+            ray.get(futs)
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        mode: str = "barrier",
+        q: np.ndarray | None = None,
+        frontier: Frontier | None = None,
+        damping: float = 0.85,
+        tol: float = 1e-10,
+        max_iter: int = 500,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+        fault=None,
+        resume_from: str | None = None,
+    ) -> PageRankResult:
+        variant = (
+            "frontier" if frontier is not None else ("naive" if q is not None else "static")
+        )
+        if resume_from is not None:
+            meta = read_lineage(resume_from)
+            variant = meta.get("variant", variant)
+        c0 = (1.0 - damping) / self.n
+        frontier_on = frontier is not None or variant == "frontier"
+        frontier_d = 0.001 * tol if frontier_on else None
+
+        t0 = time.perf_counter()
+        self._scatter_q(q)
+        ray.get([a.set_frontier_mode.remote(frontier_on) for a in self.actors])
+        if frontier is not None:
+            self._seed_frontier(frontier)
+        if resume_from is not None:
+            # checkpoint carries ranks AND the affected flags of its lineage
+            ray.get([a.load_checkpoint.remote(resume_from) for a in self.actors])
+
+        if mode == "barrier":
+            iters, residual = self._run_superstep(
+                c0, damping, tol, max_iter, frontier_d,
+                checkpoint_dir, checkpoint_every, variant,
+            )
+        elif mode == "barrierfree":
+            iters, residual = self._run_barrierfree(
+                c0, damping, tol, max_iter, frontier_d, fault
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        ranks = self.collect_ranks()
+        wall = time.perf_counter() - t0
+        if checkpoint_dir:
+            self.checkpoint(checkpoint_dir, iters, residual, mode, variant)
+        return PageRankResult(
+            ranks=ranks,
+            iterations=iters,
+            wall_s=wall,
+            residual=residual,
+            mode=mode,
+            variant=variant,
+            stats={"num_partitions": self.P, "n_vertices": self.n,
+                   "n_edges": self.layout.n_edges},
+        )
+
+    # ------------------------------------------------------------------
+    def _run_superstep(
+        self, c0, damping, tol, max_iter, frontier_d,
+        checkpoint_dir, checkpoint_every, variant,
+    ):
+        """With-barrier loop (`src/pagerankBasic.hxx:53-68`): double-buffered
+        shards, one global residual reduce per iteration."""
+        shard_refs = [a.shard.remote() for a in self.actors]
+        iters, residual = 0, float("inf")
+        while iters < max_iter:
+            futs = [
+                a.step.options(num_returns=2).remote(
+                    shard_refs, c0, damping, tol, frontier_d
+                )
+                for a in self.actors
+            ]
+            shard_refs = [f[0] for f in futs]
+            stats = ray.get([f[1] for f in futs])
+            iters += 1
+            residual = max(s["linf"] for s in stats)
+            # route cross-partition frontier marks before the next superstep
+            # (actor task order per caller guarantees they apply first)
+            combined: dict[int, list] = {}
+            for s in stats:
+                for p, arr in s["marks"].items():
+                    combined.setdefault(p, []).append(arr)
+            for p, arrs in combined.items():
+                self.actors[p].mark_affected.remote(np.unique(np.concatenate(arrs)))
+            if checkpoint_dir and checkpoint_every and iters % checkpoint_every == 0:
+                self.checkpoint(checkpoint_dir, iters, residual, "barrier", variant)
+            if residual < tol:
+                break
+        return iters, residual
+
+    def _run_barrierfree(self, c0, damping, tol, max_iter, frontier_d, fault):
+        """Barrier-free: every actor loops independently against the board;
+        the driver only awaits completion (no per-iteration ray.get barrier)."""
+        board = RankBoard.remote(self.P)
+        futs = [
+            a.run_async.remote(
+                board, c0, damping, tol, frontier_d, max_iter,
+                fault if fault and p in fault.get("pids", range(self.P)) else None,
+            )
+            for p, a in enumerate(self.actors)
+        ]
+        infos = ray.get(futs)
+        iters = max(i["iterations"] for i in infos)  # threadInfosMaxIteration
+        ray.kill(board)
+        return iters, float("nan")
+
+    # ------------------------------------------------------------------
+    def collect_ranks(self) -> np.ndarray:
+        shards = ray.get([a.ranks.remote() for a in self.actors])
+        out = np.empty(self.n, dtype=np.float64)
+        for p, sh in enumerate(shards):
+            out[p:: self.P] = sh
+        return out
+
+    def checkpoint(self, root: str, iteration: int, residual, mode: str, variant: str) -> str:
+        d = os.path.join(root, f"iter-{iteration}")
+        os.makedirs(d, exist_ok=True)
+        ray.get([a.write_checkpoint.remote(d) for a in self.actors])
+        write_lineage(
+            d, iteration, float(residual), mode, variant,
+            self.layout.path, self.P, self.n,
+        )
+        return d
+
+
+def out_neighbors_from_layout(layout: GraphLayout, srcs: np.ndarray) -> np.ndarray:
+    """Out-neighbors of ``srcs`` read straight from a persistent layout —
+    touches only the ``edges_out/part=p`` directories owning a source (the
+    old-graph side of frontier seeding needs no live actors)."""
+    import pyarrow.parquet as pq
+
+    srcs = np.unique(np.asarray(srcs, dtype=np.int64))
+    P = layout.num_partitions
+    out = []
+    for p in np.unique(srcs % P):
+        d = os.path.join(layout.edges_out, f"part={int(p)}")
+        if not os.path.isdir(d):
+            continue
+        t = pq.read_table(d, columns=["src", "dst"])
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(s, srcs)
+        out.append(t["dst"].to_numpy(zero_copy_only=False)[m].astype(np.int64))
+    return np.unique(np.concatenate(out)) if out else np.empty(0, np.int64)

@@ -1,0 +1,57 @@
+"""Checkpoint lineage: per-iteration, per-partition rank/frontier Parquet plus
+a lineage.json recording exactly which graph version the ranks belong to —
+so a job resumes mid-convergence (SURVEY §4 checkpoint/resume row; the
+"hard part (e)": warm-start must know its graph lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def write_lineage(
+    ckpt_dir: str,
+    iteration: int,
+    residual: float,
+    mode: str,
+    variant: str,
+    graph_path: str,
+    num_partitions: int,
+    n_vertices: int,
+) -> None:
+    meta = {
+        "iteration": iteration,
+        "residual": residual,
+        "mode": mode,
+        "variant": variant,
+        "graph_path": os.path.abspath(graph_path),
+        "num_partitions": num_partitions,
+        "n_vertices": n_vertices,
+        "wall_time": time.time(),
+    }
+    tmp = os.path.join(ckpt_dir, "lineage.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, os.path.join(ckpt_dir, "lineage.json"))
+
+
+def read_lineage(ckpt_dir: str) -> dict:
+    with open(os.path.join(ckpt_dir, "lineage.json")) as f:
+        return json.load(f)
+
+
+def latest_checkpoint(root: str) -> str | None:
+    """Newest complete checkpoint directory under ``root`` (one subdir per
+    checkpointed iteration, named ``iter-N``; complete == has lineage.json)."""
+    if not os.path.isdir(root):
+        return None
+    best, best_it = None, -1
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.startswith("iter-") and os.path.isfile(os.path.join(p, "lineage.json")):
+            it = int(d.split("-", 1)[1])
+            if it > best_it:
+                best, best_it = p, it
+    return best

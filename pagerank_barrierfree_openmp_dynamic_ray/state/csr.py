@@ -1,0 +1,209 @@
+"""Per-partition CSR block — the pinned state of one partition actor.
+
+Reference state being re-expressed (SURVEY §2.3): the shared-heap graph +
+transpose (`main.cxx:237-241`), rank vector (`src/pagerank.hxx:482-492`),
+converged flags (`src/pagerankBarrierfree.hxx:76-77`) and affected/frontier
+flags (`src/pagerankBasic.hxx:178`).  Here each partition owns the vertices
+``v % P == pid`` (local slot ``v // P``) — the modular analogue of the
+reference's ``belongsOmp`` ownership (`src/_openmp.hxx:15-26`).
+
+The block holds:
+- in-CSR over owned destinations (rank pull side, `src/pagerank.hxx:203-213`):
+  edges sorted by (dst_local, src), ``in_indptr`` per owned slot;
+- a *gather plan*: per source-owner partition, the local indices of the
+  source vertices this block reads.  Each iteration the actor fetches ONLY
+  the contribution shards it references — at sandbox scale that degenerates
+  to all partitions, but it is the mechanism that keeps per-iteration traffic
+  proportional to the cut, not to |V|, on a real cluster;
+- owned out-degrees (so the owner publishes ``c[v] = r[v]/deg[v]`` and no
+  degree vector is ever broadcast);
+- out-CSR over owned sources (frontier expansion side,
+  `src/pagerankBasic.hxx:196`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow.parquet as pq
+
+
+def range_gather(indptr: np.ndarray, sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Positions of all CSR entries for the selected segments.
+
+    Returns (pos, seg): ``pos`` indexes the CSR value arrays, ``seg`` maps
+    each position to its index within ``sel``.  Vectorized (no Python loop).
+    """
+    starts = indptr[sel]
+    counts = (indptr[sel + 1] - starts).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    before = np.cumsum(counts) - counts
+    pos = np.repeat(starts - before, counts) + np.arange(total, dtype=np.int64)
+    seg = np.repeat(np.arange(len(sel), dtype=np.int64), counts)
+    return pos, seg
+
+
+@dataclass
+class CsrPartition:
+    pid: int
+    num_partitions: int
+    n_vertices: int
+    n_owned: int
+    # in-edge side (sorted by (dst_local, src))
+    in_indptr: np.ndarray  # int64 [n_owned+1]
+    in_dst_local: np.ndarray  # int64 per edge
+    in_src_pos: np.ndarray  # int64 per edge -> index into gathered contributions
+    # gather plan
+    needed_parts: np.ndarray  # int64 sorted part ids
+    needs: list[np.ndarray]  # per needed part: local idx into that part's shard
+    # owned vertex data
+    outdeg: np.ndarray  # float64 [n_owned]
+    # out-edge side (sorted by (src_local, dst))
+    out_indptr: np.ndarray  # int64 [n_owned+1]
+    out_dst: np.ndarray  # uint64 global dst vids
+
+    @staticmethod
+    def owned_count(n_vertices: int, pid: int, num_partitions: int) -> int:
+        return max(0, (n_vertices - pid + num_partitions - 1) // num_partitions)
+
+    def owned_vids(self) -> np.ndarray:
+        return np.arange(self.pid, self.n_vertices, self.num_partitions, dtype=np.uint64)
+
+    @classmethod
+    def build(
+        cls,
+        pid: int,
+        num_partitions: int,
+        n_vertices: int,
+        in_src: np.ndarray,
+        in_dst: np.ndarray,
+        out_src: np.ndarray,
+        out_dst: np.ndarray,
+        deg_vid: np.ndarray,
+        deg: np.ndarray,
+    ) -> "CsrPartition":
+        P = num_partitions
+        n_owned = cls.owned_count(n_vertices, pid, P)
+
+        # ---- in-CSR (edges whose dst is owned) ----
+        in_src = np.asarray(in_src, dtype=np.int64)
+        in_dst = np.asarray(in_dst, dtype=np.int64)
+        dl = in_dst // P
+        order = np.lexsort((in_src, dl))
+        dl = dl[order]
+        s = in_src[order]
+        in_indptr = np.zeros(n_owned + 1, dtype=np.int64)
+        np.cumsum(np.bincount(dl, minlength=n_owned), out=in_indptr[1:])
+
+        # ---- gather plan over distinct sources ----
+        usrc = np.unique(s)  # sorted by vid
+        owner = usrc % P
+        by_owner = np.argsort(owner, kind="stable")  # (owner, vid) order
+        inv = np.empty(len(usrc), dtype=np.int64)
+        inv[by_owner] = np.arange(len(usrc), dtype=np.int64)
+        src_pos = inv[np.searchsorted(usrc, s)]
+        owner_sorted = owner[by_owner]
+        usrc_sorted = usrc[by_owner]
+        needed_parts, first = np.unique(owner_sorted, return_index=True)
+        bounds = np.append(first, len(usrc_sorted))
+        needs = [
+            (usrc_sorted[bounds[i]: bounds[i + 1]] // P).astype(np.int64)
+            for i in range(len(needed_parts))
+        ]
+
+        # ---- owned degrees ----
+        outdeg = np.zeros(n_owned, dtype=np.float64)
+        if len(deg_vid):
+            outdeg[np.asarray(deg_vid, dtype=np.int64) // P] = np.asarray(deg, dtype=np.float64)
+
+        # ---- out-CSR (edges whose src is owned) ----
+        out_src = np.asarray(out_src, dtype=np.int64)
+        out_dst = np.asarray(out_dst, dtype=np.uint64)
+        sl = out_src // P
+        oorder = np.lexsort((out_dst, sl))
+        sl = sl[oorder]
+        od = out_dst[oorder]
+        out_indptr = np.zeros(n_owned + 1, dtype=np.int64)
+        np.cumsum(np.bincount(sl, minlength=n_owned), out=out_indptr[1:])
+
+        return cls(
+            pid=pid,
+            num_partitions=P,
+            n_vertices=n_vertices,
+            n_owned=n_owned,
+            in_indptr=in_indptr,
+            in_dst_local=dl,
+            in_src_pos=src_pos,
+            needed_parts=needed_parts.astype(np.int64),
+            needs=needs,
+            outdeg=outdeg,
+            out_indptr=out_indptr,
+            out_dst=od,
+        )
+
+    @classmethod
+    def from_layout(cls, layout_path: str, pid: int) -> "CsrPartition":
+        """Build from the persistent layout written by stages.graph_build
+        (reads ONLY this partition's part= directories)."""
+        import json
+
+        with open(os.path.join(layout_path, "lineage.json")) as f:
+            meta = json.load(f)
+        P = meta["num_partitions"]
+        n = meta["n_vertices"]
+
+        def read(sub: str, cols: list[str]) -> dict[str, np.ndarray]:
+            d = os.path.join(layout_path, sub, f"part={pid}")
+            if not os.path.isdir(d):
+                return {c: np.empty(0, dtype=np.int64) for c in cols}
+            t = pq.read_table(d, columns=cols)
+            return {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
+
+        ein = read("edges_in", ["src", "dst"])
+        eout = read("edges_out", ["src", "dst"])
+        degs = read("degrees", ["vid", "deg"])
+        return cls.build(
+            pid, P, n,
+            ein["src"], ein["dst"], eout["src"], eout["dst"],
+            degs["vid"], degs["deg"],
+        )
+
+    # ------------------------------------------------------------------
+    # kernels
+    # ------------------------------------------------------------------
+
+    def gather(self, shards: list[np.ndarray]) -> np.ndarray:
+        """Concatenate the needed entries of the fetched shards into the
+        contribution value array addressed by ``in_src_pos``."""
+        if not shards:
+            return np.empty(0, dtype=np.float64)
+        return np.concatenate(
+            [sh[need] for sh, need in zip(shards, self.needs)]
+        )
+
+    def pull_all(self, cvals: np.ndarray, c0: float, damping: float) -> np.ndarray:
+        """a[v] = C0 + P * sum in-contributions, for every owned vertex
+        (`src/pagerank.hxx:203-213` full sweep)."""
+        sums = np.bincount(
+            self.in_dst_local, weights=cvals[self.in_src_pos], minlength=self.n_owned
+        )
+        return c0 + damping * sums
+
+    def pull_selected(
+        self, cvals: np.ndarray, sel: np.ndarray, c0: float, damping: float
+    ) -> np.ndarray:
+        """Ranks for the selected owned slots only (frontier sweep:
+        `src/pagerankBasic.hxx:189-201` — only affected vertices touched)."""
+        pos, seg = range_gather(self.in_indptr, sel)
+        sums = np.bincount(seg, weights=cvals[self.in_src_pos[pos]], minlength=len(sel))
+        return c0 + damping * sums
+
+    def out_neighbors(self, sel: np.ndarray) -> np.ndarray:
+        """Global dst vids of all out-edges of the selected owned slots
+        (frontier expansion / seeding, `src/pagerank.hxx:386-391`)."""
+        pos, _ = range_gather(self.out_indptr, sel)
+        return self.out_dst[pos]

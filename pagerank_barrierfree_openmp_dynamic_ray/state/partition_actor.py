@@ -1,0 +1,297 @@
+"""Partition actors: the stateful stage of the PageRank engine.
+
+One ``CsrPartitionActor`` per partition, pinned for the whole computation
+(the Ray analogue of the reference's shared-heap graph + rank vectors read by
+all OpenMP threads, SURVEY §2.3).  Two execution protocols:
+
+- **superstep (with-barrier)**: the driver calls ``step`` on every actor each
+  iteration and reduces the L-inf partials — semantics of
+  ``pagerankBasicOmpLoop`` (`src/pagerankBasic.hxx:53-68`): double-buffered,
+  deterministic, a global barrier per iteration.
+- **barrier-free (async)**: each actor runs ``run_async`` — a local loop that
+  pulls the freshest contribution shards from the :class:`RankBoard`, sweeps,
+  publishes, and keeps going with NO global barrier; per-vertex converged
+  flags replace the global residual, termination is "all partitions report
+  all-converged" — semantics of ``pagerankBarrierfreeOmpLoop``
+  (`src/pagerankBarrierfree.hxx:213-235`): a thread maps to a partition
+  actor, ``nowait`` maps to the absence of any ``ray.get`` barrier, the
+  per-thread iteration counter maps to the per-partition counter, and stale
+  reads are tolerated because they only delay the fixed point (the
+  reference's own correctness argument, `README.md:90-94`).
+
+Frontier semantics (both protocols): the affected set is monotone (the
+reference never clears ``vaff``); a vertex whose sweep delta exceeds
+``D = 0.001 * tolerance`` marks all out-neighbors in the new graph affected
+(`src/pagerankBasic.hxx:195-196`, `src/pagerankBarrierfree.hxx:326`).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import ray
+
+from .csr import CsrPartition
+
+
+@ray.remote
+class RankBoard:
+    """Shared-memory stand-in for the barrier-free mode: holds the freshest
+    contribution-shard object refs, per-partition converged flags, and the
+    cross-partition frontier mailboxes.  All methods are tiny; shard payloads
+    live in the object store, never in the board."""
+
+    def __init__(self, num_partitions: int):
+        self.P = num_partitions
+        self.shard_refs: list = [None] * num_partitions
+        self.converged = np.zeros(num_partitions, dtype=bool)
+        self.iterations = np.zeros(num_partitions, dtype=np.int64)
+        self.inbox: list[list] = [[] for _ in range(num_partitions)]
+        self.stopped = False
+
+    def sync(self, pid: int, shard_ref_box: list, converged: bool, iteration: int, marks):
+        """Atomically publish this partition's state and fetch the freshest
+        view.  ``shard_ref_box`` is a 1-element list holding the ObjectRef —
+        boxed because Ray auto-resolves bare refs in top-level actor args.
+        ``marks``: dict part -> np.ndarray of local slots to mark affected
+        (frontier expansion crossing partitions)."""
+        self.shard_refs[pid] = shard_ref_box[0]
+        self.iterations[pid] = iteration
+        if marks:
+            for p, arr in marks.items():
+                if p != pid:
+                    self.inbox[p].append(arr)
+        mail = self.inbox[pid]
+        self.inbox[pid] = []
+        # a partition handed pending frontier marks is by definition not done
+        self.converged[pid] = bool(converged) and not mail
+        if bool(self.converged.all()) and not any(len(b) for b in self.inbox):
+            self.stopped = True
+        return list(self.shard_refs), self.stopped, mail
+
+    def max_iteration(self) -> int:
+        return int(self.iterations.max())
+
+
+@ray.remote
+class CsrPartitionActor:
+    """Holds one partition's CSR block + rank/flag vectors.
+
+    Construction cost (parquet read + CSR build + gather plan) is paid once;
+    every technique (static / naive-dynamic / frontier, with-barrier /
+    barrier-free) reuses the same pinned state — the reference builds the
+    graph once and runs six techniques over it (`main.cxx:209-225`).
+    """
+
+    def __init__(self, layout_path: str, pid: int):
+        self.csr = CsrPartition.from_layout(layout_path, pid)
+        self.pid = pid
+        n = self.csr.n_owned
+        self.r = np.zeros(n, dtype=np.float64)
+        self.vaff = np.zeros(n, dtype=bool)  # frontier flags (monotone)
+        self.conv = np.zeros(n, dtype=bool)  # barrier-free converged flags
+        self.frontier_mode = False
+
+    # -------------------------------------------------- initialization
+    def ready(self) -> int:
+        return self.csr.n_owned
+
+    def init_ranks(self, q: np.ndarray | None) -> None:
+        """q = warm-start ranks for owned slots (naive-dynamic / frontier,
+        `src/pagerank.hxx:488-489`) else 1/N."""
+        if q is None:
+            self.r[:] = 1.0 / self.csr.n_vertices
+        else:
+            self.r[:] = q
+        self.conv[:] = False
+
+    def set_frontier_mode(self, on: bool) -> None:
+        """on=False -> every vertex affected every sweep (static/naive);
+        on=True -> only ``vaff`` vertices sweep (dynamic frontier)."""
+        self.frontier_mode = on
+        self.vaff[:] = False
+
+    def mark_affected(self, local_slots: np.ndarray) -> None:
+        if len(local_slots):
+            self.vaff[local_slots] = True
+
+    def out_neighbors_of(self, vids: np.ndarray) -> np.ndarray:
+        """Global out-neighbors of the given OWNED vids (frontier seeding:
+        out-edges of batch endpoints, `src/pagerank.hxx:386-391`)."""
+        sel = np.asarray(vids, dtype=np.int64) // self.csr.num_partitions
+        sel = np.unique(sel)
+        sel = sel[self.csr.out_indptr[sel + 1] > self.csr.out_indptr[sel]]
+        return np.unique(self.csr.out_neighbors(sel))
+
+    def shard(self) -> np.ndarray:
+        """Contribution shard c[v] = r[v]/outdeg[v] for owned slots — what
+        other partitions read (the owner publishes rank/deg so degree never
+        ships: `src/pagerank.hxx:208-210` reads xt.vertexValue(u) locally)."""
+        out = np.zeros_like(self.r)
+        nz = self.csr.outdeg > 0
+        out[nz] = self.r[nz] / self.csr.outdeg[nz]
+        return out
+
+    def ranks(self) -> np.ndarray:
+        return self.r
+
+    def set_ranks(self, r: np.ndarray) -> None:
+        self.r = np.asarray(r, dtype=np.float64).copy()
+
+    def affected_flags(self) -> np.ndarray:
+        return self.vaff
+
+    # -------------------------------------------------- superstep protocol
+    def _sweep(self, cvals, c0, damping, tol, frontier_d):
+        """One local sweep.  Returns (linf, marks, n_active) and updates
+        self.r / self.conv in place."""
+        csr = self.csr
+        if self.frontier_mode:
+            sel = np.flatnonzero(self.vaff)
+            if len(sel) == 0:
+                self.conv[:] = True
+                return 0.0, {}, 0
+            a = csr.pull_selected(cvals, sel, c0, damping)
+            delta = np.abs(a - self.r[sel])
+            self.r[sel] = a
+            self.conv[sel] = delta <= tol
+            hot = sel[delta > frontier_d] if frontier_d is not None else sel[:0]
+        else:
+            sel = None
+            a = csr.pull_all(cvals, c0, damping)
+            delta = np.abs(a - self.r)
+            self.r = a
+            self.conv = delta <= tol
+            hot = np.empty(0, dtype=np.int64)
+        linf = float(delta.max()) if len(delta) else 0.0
+
+        marks: dict[int, np.ndarray] = {}
+        if len(hot):
+            # frontier expansion: out-neighbors (new graph) of vertices whose
+            # rank moved more than D (`src/pagerankBasic.hxx:196`)
+            nbrs = np.unique(csr.out_neighbors(hot))
+            owner = (nbrs % csr.num_partitions).astype(np.int64)
+            order = np.argsort(owner, kind="stable")
+            nbrs, owner = nbrs[order], owner[order]
+            parts, first = np.unique(owner, return_index=True)
+            bounds = np.append(first, len(nbrs))
+            for i, p in enumerate(parts):
+                loc = (nbrs[bounds[i]: bounds[i + 1]] // csr.num_partitions).astype(np.int64)
+                if p == self.pid:
+                    self.vaff[loc] = True
+                else:
+                    marks[int(p)] = loc
+        n_active = int(len(sel)) if sel is not None else csr.n_owned
+        return linf, marks, n_active
+
+    def step(self, shard_refs, c0, damping, tol, frontier_d):
+        """One with-barrier superstep.  ``shard_refs``: refs of every
+        partition's previous-iteration contribution shard; fetches only the
+        partitions in the gather plan.  Returns (new_shard, stats)."""
+        shards = ray.get([shard_refs[p] for p in self.csr.needed_parts])
+        cvals = self.csr.gather(shards)
+        linf, marks, n_active = self._sweep(cvals, c0, damping, tol, frontier_d)
+        stats = {
+            "pid": self.pid,
+            "linf": linf,
+            "marks": marks,
+            "n_active": n_active,
+            "n_owned": self.csr.n_owned,
+        }
+        return self.shard(), stats
+
+    # -------------------------------------------------- barrier-free protocol
+    def run_async(
+        self,
+        board,
+        c0: float,
+        damping: float,
+        tol: float,
+        frontier_d,
+        max_iter: int,
+        fault=None,
+    ) -> dict:
+        """Barrier-free local loop (`src/pagerankBarrierfree.hxx:213-235`).
+
+        Publishes/fetches through the board each sweep; no two partitions are
+        ever synchronized.  ``fault``: optional dict with ``sleep_prob`` /
+        ``sleep_s`` / ``crash_at`` mirroring the reference's uniform
+        thread-failure injection (`main.cxx:137-169`).
+        """
+        csr = self.csr
+        it = 0
+        crashed = False
+        rng = np.random.default_rng([self.pid, 1234])
+        my_ref = ray.put(self.shard())
+        shard_refs, stop, mail = ray.get(
+            board.sync.remote(self.pid, [my_ref], False, 0, {})
+        )
+        while it < max_iter and not stop:
+            if fault:
+                if fault.get("crash_at") is not None and it >= fault["crash_at"]:
+                    crashed = True
+                    break
+                if fault.get("sleep_prob") and rng.random() < fault["sleep_prob"]:
+                    time.sleep(fault.get("sleep_s", 0.05))
+            for arr in mail:
+                self.vaff[arr] = True
+            refs = [shard_refs[p] for p in csr.needed_parts]
+            if any(r is None for r in refs):
+                # a peer has not published yet; use own view where missing
+                shards = [
+                    ray.get(r) if r is not None else np.zeros(
+                        CsrPartition.owned_count(csr.n_vertices, int(p), csr.num_partitions)
+                    )
+                    for r, p in zip(refs, csr.needed_parts)
+                ]
+            else:
+                shards = ray.get(refs)
+            cvals = csr.gather(shards)
+            linf, marks, _ = self._sweep(cvals, c0, damping, tol, frontier_d)
+            it += 1
+            if self.frontier_mode:
+                # unaffected vertices are pre-marked converged
+                # (`src/pagerankBarrierfree.hxx:98-106`)
+                all_conv = bool(self.conv[self.vaff].all()) if self.vaff.any() else True
+            else:
+                all_conv = bool(self.conv.all())
+            my_ref = ray.put(self.shard())
+            shard_refs, stop, mail = ray.get(
+                board.sync.remote(self.pid, [my_ref], all_conv, it, marks)
+            )
+        return {"pid": self.pid, "iterations": it, "crashed": crashed}
+
+    # -------------------------------------------------- checkpoint
+    def write_checkpoint(self, path: str) -> str:
+        """Owned (vid, rank, affected) -> one parquet file per partition —
+        the resumable unit (SURVEY §4 checkpoint row)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        t = pa.table(
+            {
+                "vid": pa.array(self.csr.owned_vids()),
+                "rank": pa.array(self.r),
+                "affected": pa.array(self.vaff),
+            }
+        )
+        f = os.path.join(path, f"part-{self.pid}.parquet")
+        tmp = f + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, f)
+        return f
+
+    def load_checkpoint(self, path: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(path, f"part-{self.pid}.parquet"))
+        vid = t["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        slot = vid // self.csr.num_partitions
+        self.r[slot] = t["rank"].to_numpy(zero_copy_only=False)
+        self.vaff[slot] = t["affected"].to_numpy(zero_copy_only=False)

@@ -1,0 +1,156 @@
+"""Dynamic PageRank: batch apply, naive-dynamic, dynamic-frontier (both
+protocols), checkpoint/resume, actor-crash recovery.
+
+Verification model = the reference's own: dynamic ranks must match a full
+recompute on the updated graph (``a* vs s0``, ``main.cxx:207-225``)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build as gb
+from pagerank_barrierfree_openmp_dynamic_ray.functions.oracle import pagerank_power
+from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+    Frontier,
+    PageRankEngine,
+)
+from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
+    apply_batch_to_layout,
+    generate_batch,
+    layout_edge_arrays,
+)
+from pagerank_barrierfree_openmp_dynamic_ray.state.checkpoint import (
+    latest_checkpoint,
+    read_lineage,
+)
+
+
+@pytest.fixture(scope="module")
+def dyn(ray_session, tmp_path_factory):
+    """Original graph, an update batch, and the updated layout."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n, m = 300, 2400
+    src = rng.integers(0, n, m).astype(np.uint64)
+    dst = rng.integers(0, n, m).astype(np.uint64)
+    root = tmp_path_factory.mktemp("dyn")
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    old = gb.build_graph(ds, str(root / "old"), num_partitions=3, n_vertices=n)
+    s0, d0 = layout_edge_arrays(old)
+    dels_s, dels_d, ins_s, ins_d = generate_batch(s0, d0, n, batch_size=24, seed=5)
+    new = apply_batch_to_layout(old, str(root / "new"), dels_s, dels_d, ins_s, ins_d)
+    return old, new, (dels_s, dels_d, ins_s, ins_d), root
+
+
+def test_apply_batch_semantics(dyn):
+    old, new, (ds_, dd_, is_, id_), _ = dyn
+    s1, d1 = layout_edge_arrays(new)
+    pairs = set(zip(s1.tolist(), d1.tolist()))
+    n = old.n_vertices
+    # all self-loops present (re-self-loop after deletions)
+    for v in range(n):
+        assert (v, v) in pairs
+    # insertions present
+    for u, v in zip(is_.tolist(), id_.tolist()):
+        assert (u, v) in pairs
+    # deletions absent unless re-inserted or a self-loop
+    inserted = set(zip(is_.tolist(), id_.tolist()))
+    for u, v in zip(ds_.tolist(), dd_.tolist()):
+        if (u, v) in inserted or u == v:
+            continue
+        assert (u, v) not in pairs
+    assert len(pairs) == new.n_edges
+
+
+@pytest.fixture(scope="module")
+def oracle_new(dyn):
+    _, new, _, _ = dyn
+    s1, d1 = layout_edge_arrays(new)
+    ranks, _ = pagerank_power(s1, d1, new.n_vertices)
+    return ranks
+
+
+@pytest.fixture(scope="module")
+def warm(dyn):
+    old, _, _, _ = dyn
+    eng = PageRankEngine(old, num_cpus_per_actor=0.25)
+    r0 = eng.run(mode="barrier").ranks
+    eng.shutdown()
+    return r0
+
+
+@pytest.fixture(scope="module")
+def new_engine(dyn):
+    _, new, _, _ = dyn
+    eng = PageRankEngine(new, num_cpus_per_actor=0.25)
+    yield eng
+    eng.shutdown()
+
+
+def test_naive_dynamic_barrier(new_engine, warm, oracle_new):
+    res = new_engine.run(mode="barrier", q=warm)
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+
+
+def test_frontier_barrier(dyn, new_engine, warm, oracle_new):
+    old, new, (ds_, dd_, is_, id_), _ = dyn
+    fr = Frontier(old_layout=old, del_src=ds_, ins_src=is_)
+    res = new_engine.run(mode="barrier", q=warm, frontier=fr)
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+    assert res.variant == "frontier"
+
+
+def test_frontier_barrierfree(dyn, new_engine, warm, oracle_new):
+    old, new, (ds_, dd_, is_, id_), _ = dyn
+    fr = Frontier(old_layout=old, del_src=ds_, ins_src=is_)
+    res = new_engine.run(mode="barrierfree", q=warm, frontier=fr)
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+
+
+def test_naive_dynamic_barrierfree(new_engine, warm, oracle_new):
+    res = new_engine.run(mode="barrierfree", q=warm)
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+
+
+def test_checkpoint_resume(dyn, new_engine, oracle_new, tmp_path):
+    """Interrupt a run at iteration k (max_iter=k), resume from checkpoint,
+    converge to the oracle fixed point."""
+    ck = str(tmp_path / "ck")
+    partial = new_engine.run(
+        mode="barrier", max_iter=5, checkpoint_dir=ck, checkpoint_every=5
+    )
+    assert partial.residual > 1e-10  # genuinely interrupted mid-convergence
+    latest = latest_checkpoint(ck)
+    assert latest is not None
+    meta = read_lineage(latest)
+    assert meta["iteration"] == 5
+    assert meta["graph_path"] == os.path.abspath(new_engine.layout.path)
+    res = new_engine.run(mode="barrier", resume_from=latest)
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+
+
+def test_crash_recovery_rebuild_actor(dyn, oracle_new, tmp_path):
+    """Kill a partition actor mid-computation; recreate it from the layout +
+    checkpoint and finish — the engine analogue of the reference's crashed
+    threads being absorbed (`main.cxx:156-169`, README.md:110-127)."""
+    import ray
+
+    from pagerank_barrierfree_openmp_dynamic_ray.state.partition_actor import (
+        CsrPartitionActor,
+    )
+
+    _, new, _, _ = dyn
+    eng = PageRankEngine(new, num_cpus_per_actor=0.25)
+    ck = str(tmp_path / "ck2")
+    eng.run(mode="barrier", max_iter=4, checkpoint_dir=ck, checkpoint_every=4)
+    latest = latest_checkpoint(ck)
+    # crash-stop partition 1
+    ray.kill(eng.actors[1])
+    eng.actors[1] = CsrPartitionActor.options(num_cpus=0.25).remote(new.path, 1)
+    ray.get(eng.actors[1].ready.remote())
+    res = eng.run(mode="barrier", resume_from=latest)
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+    eng.shutdown()

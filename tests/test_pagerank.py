@@ -1,0 +1,117 @@
+"""PageRank engine vs the numpy golden oracle (the reference's own
+verification pattern: compare each technique against a high-precision
+with-barrier run, ``main.cxx:191,207``)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build as gb
+from pagerank_barrierfree_openmp_dynamic_ray.functions.oracle import pagerank_power
+from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import PageRankEngine
+
+
+def _build(tmp_path, src, dst, n, P=3):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.asarray(src, np.uint64)),
+                "dst": pa.array(np.asarray(dst, np.uint64)),
+            }
+        )
+    )
+    return gb.build_graph(ds, str(tmp_path / "g"), num_partitions=P, n_vertices=n)
+
+
+def _layout_arrays(layout):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(layout.edges_in)
+    return (
+        t["src"].to_numpy().astype(np.int64),
+        t["dst"].to_numpy().astype(np.int64),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_engine(ray_session, tiny_graph, tmp_path_factory):
+    src, dst, n = tiny_graph
+    layout = _build(tmp_path_factory.mktemp("pr"), src, dst, n)
+    eng = PageRankEngine(layout, num_cpus_per_actor=0.25)
+    yield eng, layout
+    eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def random_engine(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(7)
+    n = 400
+    m = 3000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    layout = _build(tmp_path_factory.mktemp("prr"), src, dst, n, P=4)
+    eng = PageRankEngine(layout, num_cpus_per_actor=0.25)
+    yield eng, layout
+    eng.shutdown()
+
+
+def test_static_barrier_matches_oracle(tiny_engine):
+    eng, layout = tiny_engine
+    s, d = _layout_arrays(layout)
+    want, want_iters = pagerank_power(s, d, layout.n_vertices)
+    res = eng.run(mode="barrier")
+    np.testing.assert_allclose(res.ranks, want, atol=1e-6)
+    assert abs(res.ranks.sum() - 1.0) < 1e-6
+    assert res.iterations == want_iters
+    assert res.residual < 1e-10
+
+
+def test_static_barrier_random_graph(random_engine):
+    eng, layout = random_engine
+    s, d = _layout_arrays(layout)
+    want, _ = pagerank_power(s, d, layout.n_vertices)
+    res = eng.run(mode="barrier")
+    np.testing.assert_allclose(res.ranks, want, atol=1e-6)
+
+
+def test_static_barrierfree_same_fixed_point(random_engine):
+    """Barrier-free reaches the same fixed point as with-barrier — the
+    reference's equivalence claim (README.md:60-63)."""
+    eng, layout = random_engine
+    s, d = _layout_arrays(layout)
+    want, _ = pagerank_power(s, d, layout.n_vertices)
+    res = eng.run(mode="barrierfree")
+    np.testing.assert_allclose(res.ranks, want, atol=1e-6)
+    assert res.iterations <= 500
+
+
+def test_warm_start_fewer_iterations(random_engine):
+    eng, layout = random_engine
+    cold = eng.run(mode="barrier")
+    warm = eng.run(mode="barrier", q=cold.ranks)
+    np.testing.assert_allclose(warm.ranks, cold.ranks, atol=1e-6)
+    assert warm.iterations <= 2  # already at the fixed point
+
+
+def test_partition_count_invariance(ray_session, tiny_graph, tmp_path):
+    """Ranks must not depend on the partitioning (bitwise-stable within
+    tolerance, SURVEY hard part (b))."""
+    src, dst, n = tiny_graph
+    results = []
+    for P in (1, 2, 5):
+        layout = _build(tmp_path / f"p{P}", src, dst, n, P=P)
+        eng = PageRankEngine(layout, num_cpus_per_actor=0.25)
+        results.append(eng.run(mode="barrier").ranks)
+        eng.shutdown()
+    np.testing.assert_allclose(results[0], results[1], atol=1e-12)
+    np.testing.assert_allclose(results[0], results[2], atol=1e-12)
+
+
+def test_top_k(random_engine):
+    eng, layout = random_engine
+    res = eng.run(mode="barrier")
+    top = res.top_k(5)
+    assert len(top) == 5
+    assert top[0][1] == res.ranks.max()
