@@ -73,9 +73,14 @@ def label_propagation(
     """Deterministic synchronous label propagation on the undirected view:
     each round every vertex takes the most frequent label among its
     neighbors (tie -> smallest label); self counts once via the self-loop.
-    Stops when stable or after ``max_iter`` rounds."""
-    us = np.concatenate([src, dst])
-    vs = np.concatenate([dst, src])
+    Stops when stable or after ``max_iter`` rounds.  Operates on the simple
+    undirected view (duplicate symmetric pairs collapse, matching the
+    engine's deduped symmetric layout)."""
+    key = np.unique(
+        np.concatenate([src, dst]).astype(np.int64) * n
+        + np.concatenate([dst, src]).astype(np.int64)
+    )
+    us, vs = key // n, key % n
     lab = np.arange(n, dtype=np.int64)
     for _ in range(max_iter):
         nl = lab[us]

@@ -262,6 +262,51 @@ class CsrPartitionActor:
             )
         return {"pid": self.pid, "iterations": it, "crashed": crashed}
 
+    # -------------------------------------------------- label algorithms
+    # (connected components / label propagation reuse the CSR + gather plan;
+    # they are run on a SYMMETRIZED layout so in-neighbors == all neighbors)
+
+    def init_labels(self) -> None:
+        self.lab = self.csr.owned_vids().astype(np.int64)
+
+    def label_shard(self) -> np.ndarray:
+        return self.lab
+
+    def cc_step(self, shard_refs):
+        """Min-label propagation sweep: lab[v] = min(lab[v], min over
+        neighbors) (SURVEY §2.12).  Returns (new_shard, n_changed)."""
+        shards = ray.get([shard_refs[p] for p in self.csr.needed_parts])
+        cvals = np.concatenate([sh[need] for sh, need in zip(shards, self.csr.needs)]) \
+            if shards else np.empty(0, np.int64)
+        new = self.lab.copy()
+        np.minimum.at(new, self.csr.in_dst_local, cvals[self.csr.in_src_pos])
+        changed = int((new != self.lab).sum())
+        self.lab = new
+        return self.lab, changed
+
+    def lp_step(self, shard_refs):
+        """Synchronous label propagation sweep: most frequent neighbor label,
+        ties -> smallest label (deterministic; self counts once via the
+        self-loop).  Returns (new_shard, n_changed)."""
+        shards = ray.get([shard_refs[p] for p in self.csr.needed_parts])
+        cvals = np.concatenate([sh[need] for sh, need in zip(shards, self.csr.needs)]) \
+            if shards else np.empty(0, np.int64)
+        nl = cvals[self.csr.in_src_pos]
+        d = self.csr.in_dst_local
+        n = self.csr.n_vertices
+        key = d * np.int64(n + 1) + nl
+        uniq, cnt = np.unique(key, return_counts=True)
+        kv = uniq // (n + 1)
+        kl = uniq % (n + 1)
+        order = np.lexsort((kl, -cnt, kv))  # (v asc, count desc, label asc)
+        kv_o = kv[order]
+        first = np.concatenate([[True], kv_o[1:] != kv_o[:-1]])
+        new = self.lab.copy()
+        new[kv_o[first]] = kl[order][first]
+        changed = int((new != self.lab).sum())
+        self.lab = new
+        return self.lab, changed
+
     # -------------------------------------------------- checkpoint
     def write_checkpoint(self, path: str) -> str:
         """Owned (vid, rank, affected) -> one parquet file per partition —

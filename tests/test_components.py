@@ -1,0 +1,96 @@
+"""Connected components / label propagation / triangle count vs oracles
+(exact match, FIXTURES.md §4)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build as gb
+from pagerank_barrierfree_openmp_dynamic_ray.functions import oracle
+from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
+    LabelEngine,
+    build_symmetric_layout,
+)
+from pagerank_barrierfree_openmp_dynamic_ray.pipelines.triangles import triangle_count
+
+
+def _ds(src, dst):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.asarray(src, np.uint64)),
+                "dst": pa.array(np.asarray(dst, np.uint64)),
+            }
+        )
+    )
+
+
+def test_cc_tiny(ray_session, tiny_graph, tmp_path):
+    src, dst, n = tiny_graph
+    lay = build_symmetric_layout(_ds(src, dst), str(tmp_path / "s"), 3, n_vertices=n)
+    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
+    res = eng.connected_components()
+    eng.shutdown()
+    # components {0,1,2,3}, {4,5}, {6} (FIXTURES.md §5)
+    np.testing.assert_array_equal(res.labels, [0, 0, 0, 0, 4, 4, 6])
+    want = oracle.connected_components(src, dst, n)
+    np.testing.assert_array_equal(res.labels, want)
+
+
+def test_cc_random(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    n = 500
+    # sparse graph -> many components
+    src = rng.integers(0, n, 300)
+    dst = rng.integers(0, n, 300)
+    lay = build_symmetric_layout(_ds(src, dst), str(tmp_path / "s"), 4, n_vertices=n)
+    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
+    res = eng.connected_components()
+    eng.shutdown()
+    want = oracle.connected_components(src, dst, n)
+    np.testing.assert_array_equal(res.labels, want)
+
+
+def test_label_propagation_matches_oracle(ray_session, tmp_path):
+    rng = np.random.default_rng(4)
+    n = 200
+    # two dense-ish clusters + sparse bridges
+    a = rng.integers(0, n // 2, (400, 2))
+    b = rng.integers(n // 2, n, (400, 2))
+    bridge = np.array([[1, n // 2 + 1], [2, n // 2 + 2]])
+    e = np.vstack([a, b, bridge])
+    src, dst = e[:, 0], e[:, 1]
+    lay = build_symmetric_layout(_ds(src, dst), str(tmp_path / "s"), 3, n_vertices=n)
+    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
+    res = eng.label_propagation(max_iter=20)
+    eng.shutdown()
+    # oracle runs on the deduped symmetric self-looped view == layout content
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(lay.edges_in)
+    ls, ld = (
+        t["src"].to_numpy().astype(np.int64),
+        t["dst"].to_numpy().astype(np.int64),
+    )
+    want = oracle.label_propagation(ls, ld, n, max_iter=20)
+    np.testing.assert_array_equal(res.labels, want)
+
+
+def test_triangles_tiny(ray_session, tiny_graph):
+    src, dst, n = tiny_graph
+    # tiny graph: one triangle {0,1,2} after symmetrization
+    assert triangle_count(_ds(src, dst), n) == 1
+    assert oracle.triangle_count(src, dst, n) == 1
+
+
+def test_triangles_random(ray_session):
+    rng = np.random.default_rng(6)
+    n = 120
+    src = rng.integers(0, n, 900)
+    dst = rng.integers(0, n, 900)
+    got = triangle_count(_ds(src, dst), n)
+    want = oracle.triangle_count(src, dst, n)
+    assert got == want
+    assert want > 0
