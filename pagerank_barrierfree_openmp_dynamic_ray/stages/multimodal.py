@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode libraries (PIL / torchaudio / video codecs) are NOT in this
+container, so the codec boundary is a clearly marked stub: real libraries are
+import-tried in the actor ``__init__`` (once per actor, the correct place for
+model/codec loading); absent them, a deterministic header-parse fake decodes
+this module's synthetic payload format.  Everything Ray-side — schema, actor
+signature, per-stage batch size, output layout — is real and tested, so
+swapping in a real decoder changes only ``_decode_payload``.
+
+Synthetic payload formats (deterministic, self-describing):
+  image: b"IMG!" + uint16 w + uint16 h + (w*h) raw bytes
+  video: b"VID!" + uint16 nframes + uint16 frame_len + frames
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+def make_image_payload(w: int, h: int, seed: int) -> bytes:
+    rng = np.random.default_rng([seed, w, h])
+    return b"IMG!" + struct.pack("<HH", w, h) + rng.integers(0, 256, w * h).astype(np.uint8).tobytes()
+
+
+def make_video_payload(nframes: int, frame_len: int, seed: int) -> bytes:
+    rng = np.random.default_rng([seed, nframes])
+    return (
+        b"VID!"
+        + struct.pack("<HH", nframes, frame_len)
+        + rng.integers(0, 256, nframes * frame_len).astype(np.uint8).tobytes()
+    )
+
+
+class DecodeImageStage:
+    """Actor-pool stage: payload -> (width, height, mean_pixel feature).
+
+    Use with ``ds.map_batches(DecodeImageStage, batch_format="pyarrow",
+    batch_size=64, concurrency=N)`` — small batches because rows are large
+    binary (SURVEY memory-aware rule)."""
+
+    def __init__(self):
+        try:  # real codec path — not available in this container
+            from PIL import Image  # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def _decode_payload(self, payload: bytes) -> tuple[int, int, float]:
+        if self._real:  # pragma: no cover - container has no PIL
+            raise NotImplementedError(
+                "real image decode: open with PIL and compute the same triple"
+            )
+        if payload[:4] != b"IMG!":
+            raise ValueError("not an IMG! payload")
+        w, h = struct.unpack("<HH", payload[4:8])
+        px = np.frombuffer(payload[8: 8 + w * h], dtype=np.uint8)
+        return w, h, float(px.mean()) if len(px) else 0.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        triples = [self._decode_payload(p) for p in batch["payload"].to_pylist()]
+        w, h, m = zip(*triples) if triples else ((), (), ())
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "width": pa.array(np.asarray(w, np.int32)),
+                "height": pa.array(np.asarray(h, np.int32)),
+                "mean_pixel": pa.array(np.asarray(m, np.float64)),
+            }
+        )
+
+
+class ResizeStage:
+    """Computes the letterboxed target geometry (the resample itself is the
+    codec-side stub).  Demonstrates chaining typed metadata stages."""
+
+    def __init__(self, target: int = 224):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = self.target / np.maximum(w, h)
+        return batch.append_column(
+            "out_w", pa.array(np.round(w * scale).astype(np.int32))
+        ).append_column("out_h", pa.array(np.round(h * scale).astype(np.int32)))
+
+
+class FrameSampleStage:
+    """video payload -> every ``stride``-th frame's mean value (deterministic
+    stand-in for frame extraction + per-frame feature)."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, feats = [], [], []
+        for i, p in zip(batch["item_id"].to_pylist(), batch["payload"].to_pylist()):
+            if p[:4] != b"VID!":
+                raise ValueError("not a VID! payload")
+            nf, fl = struct.unpack("<HH", p[4:8])
+            data = np.frombuffer(p[8:], dtype=np.uint8).reshape(nf, fl)
+            for f in range(0, nf, self.stride):
+                ids.append(i)
+                frames.append(f)
+                feats.append(float(data[f].mean()))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int32()),
+                "mean_value": pa.array(feats, pa.float64()),
+            }
+        )
+
+
+def decode_images(items, concurrency: int = 2, batch_size: int = 64):
+    return items.map_batches(
+        DecodeImageStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(items, stride: int = 4, concurrency: int = 2, batch_size: int = 16):
+    return items.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_kwargs={"stride": stride},
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (vec_id, embedding: list<float>).
+
+- brute-force cosine top-k: broadcast the (normalized) query matrix once via
+  ``ray.put``; every batch does one numpy matmul and emits its per-query
+  partial top-k; a single groupby(qid) merge yields the global top-k.
+  Per-batch work is O(batch x Q x d) dense BLAS — the right baseline shape.
+- LSH-bucketed ANN (random hyperplanes): signatures bucket the corpus with
+  one groupby; queries probe their own bucket (+ multiprobe neighbors at
+  hamming distance 1).  Approximate; recall measured against brute force in
+  tests.  This is the scale path: per-query work drops from O(N) to
+  O(N / 2^bits * multiprobe).
+- embedding-cosine near-dup: all-pairs >= tau via blocked matmul against the
+  broadcast corpus matrix (sandbox scale); LSH buckets bound it at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False))
+    return ids, emb.astype(np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def topk_cosine(embeddings, queries: np.ndarray, k: int = 10):
+    """(qid, vec_id, score) global top-k per query row, ordered by
+    (qid, score desc, vec_id).  ``queries``: (Q, d) float array."""
+    qn = _normalize(np.asarray(queries, np.float32))
+    qref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids, emb = _batch_matrix(batch)
+        sims = _normalize(emb) @ q.T  # (B, Q)
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        qid = np.repeat(np.arange(q.shape[0], dtype=np.int64), kk)
+        vid = ids[top.T.ravel()]
+        sc = np.take_along_axis(sims, top, axis=0).T.ravel()
+        return pa.table(
+            {
+                "qid": pa.array(qid),
+                "vec_id": pa.array(vid),
+                "score": pa.array(sc.astype(np.float64)),
+            }
+        )
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        sc = group["score"].to_numpy(zero_copy_only=False)
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        qid = group["qid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sc))[:k]
+        return pa.table(
+            {
+                "qid": pa.array(qid[order]),
+                "vec_id": pa.array(vid[order]),
+                "score": pa.array(sc[order]),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+class HyperplaneLsh:
+    """Shared random-hyperplane coder (seeded -> identical on every actor)."""
+
+    def __init__(self, dim: int, bits: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits)).astype(np.float32)
+        self.bits = bits
+
+    def codes(self, m: np.ndarray) -> np.ndarray:
+        b = (m @ self.planes) > 0
+        return (b @ (1 << np.arange(self.bits, dtype=np.int64))).astype(np.int64)
+
+
+def lsh_topk(embeddings, queries: np.ndarray, k: int = 10, bits: int = 6,
+             multiprobe: int = 1, dim: int | None = None):
+    """Approximate top-k: corpus bucketed by hyperplane code (one groupby);
+    each query probes every bucket within hamming distance ``multiprobe`` of
+    its own code.  Recall/cost dial: probed fraction ~ sum_{i<=m} C(bits,i)
+    / 2^bits."""
+    q = _normalize(np.asarray(queries, np.float32))
+    if dim is None:
+        dim = q.shape[1]
+    lsh = HyperplaneLsh(dim, bits)
+    qcodes = lsh.codes(q)
+    # probe set per bucket: which queries probe it
+    probe: dict[int, list[int]] = {}
+    all_codes = np.arange(1 << bits)
+    for qi, c in enumerate(qcodes):
+        ham = np.array([bin(int(c) ^ int(x)).count("1") for x in all_codes])
+        for cand in all_codes[ham <= multiprobe]:
+            probe.setdefault(int(cand), []).append(qi)
+    qref = ray.put((q, probe))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids, emb = _batch_matrix(batch)
+        codes = lsh.codes(_normalize(emb))
+        return pa.table(
+            {
+                "bucket": pa.array(codes),
+                "vec_id": pa.array(ids),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    tagged = embeddings.map_batches(tag, batch_format="pyarrow")
+
+    def search(group: pa.Table) -> pa.Table:
+        qm, pr = ray.get(qref)
+        bucket = int(group["bucket"][0].as_py())
+        qids = pr.get(bucket, [])
+        if not qids:
+            return pa.table({"qid": pa.array(np.empty(0, np.int64)),
+                             "vec_id": pa.array(np.empty(0, np.int64)),
+                             "score": pa.array(np.empty(0, np.float64))})
+        ids, emb = _batch_matrix(group)
+        sims = _normalize(emb) @ qm[qids].T
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        qid = np.repeat(np.asarray(qids, np.int64), kk)
+        vid = ids[top.T.ravel()]
+        sc = np.take_along_axis(sims, top, axis=0).T.ravel()
+        return pa.table({"qid": pa.array(qid), "vec_id": pa.array(vid),
+                         "score": pa.array(sc.astype(np.float64))})
+
+    partials = tagged.groupby("bucket").map_groups(search, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        sc = group["score"].to_numpy(zero_copy_only=False)
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        qid = group["qid"].to_numpy(zero_copy_only=False)
+        # a vector can reach a query through several probed buckets — dedup
+        _, first = np.unique(vid, return_index=True)
+        order = first[np.lexsort((vid[first], -sc[first]))][:k]
+        return pa.table({"qid": pa.array(qid[order]), "vec_id": pa.array(vid[order]),
+                         "score": pa.array(sc[order])})
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+def near_dup_cosine(embeddings, tau: float = 0.95):
+    """All pairs (a < b, cosine >= tau).  The corpus matrix is broadcast once
+    (sandbox scale); each batch multiplies against it — O(N x B x d) blocked.
+    Scale path: bucket by hyperplane code first (same verify kernel)."""
+    pdf = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
+    all_ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    allm = _normalize(np.vstack(pdf["embedding"].to_numpy()).astype(np.float32))
+    ref = ray.put((all_ids, allm))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        ids, emb = _batch_matrix(batch)
+        sims = _normalize(emb) @ m_all.T  # (B, N)
+        bi, aj = np.nonzero(sims >= tau)
+        a = ids[bi]
+        b = ids_all[aj]
+        keep = a < b
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "cosine": pa.array(sims[bi, aj][keep].astype(np.float64)),
+            }
+        )
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow")

@@ -1,0 +1,207 @@
+"""Text analysis + dedup family + similarity search + multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_ray.functions import hashing, textstats
+from pagerank_barrierfree_openmp_dynamic_ray.stages import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    """Documents with injected exact and near duplicates."""
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different sentence about graph engines and ray data",
+        "numbers one two three four five six seven eight nine ten",
+    ]
+    rows = []
+    i = 0
+    for t in base:
+        rows.append({"doc_id": i, "text": t}); i += 1
+        rows.append({"doc_id": i, "text": t}); i += 1  # exact dup
+        rows.append({"doc_id": i, "text": t + " extra"}); i += 1  # near dup
+    rows.append({"doc_id": i, "text": "zzz totally unrelated content xyz"}); i += 1
+    return rd.from_items(rows)
+
+
+def test_token_count_and_quality(docs):
+    out = textstats.token_counts(docs).to_pandas().sort_values("doc_id")
+    pdf = docs.to_pandas().sort_values("doc_id")
+    want = pdf["text"].str.split().str.len().to_numpy()
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), want)
+    q = textstats.quality_scores(docs).to_pandas()
+    assert {"mean_tok_len", "punct_ratio", "stop_ratio", "quality_pass"} <= set(q.columns)
+    assert len(q) == len(pdf)
+
+
+def test_lang_id_deterministic(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "the cat and the dog of the house is here"},
+            {"doc_id": 1, "text": "der hund und die katze und das haus"},
+            {"doc_id": 2, "text": "le chien et la maison et les chats"},
+            {"doc_id": 3, "text": "el perro y los gatos y las casas"},
+            {"doc_id": 4, "text": "你好 世界"},
+            {"doc_id": 5, "text": "zzz qqq www"},
+        ]
+    )
+    out = textstats.lang_ids(ds).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprints_match_hashlib(docs):
+    import hashlib
+
+    out = textstats.fingerprints(docs).to_pandas().sort_values("doc_id")
+    pdf = docs.to_pandas().sort_values("doc_id")
+    want = [hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]]
+    assert out["md5"].tolist() == want
+    # rolling hash deterministic across calls
+    r1 = textstats.rolling_hash(["a", "b", "c"])
+    r2 = textstats.rolling_hash(["a", "b", "c"])
+    assert r1 == r2 and r1 != textstats.rolling_hash(["c", "b", "a"])
+
+
+def test_exact_dedup(dup_docs):
+    agg = dedup.exact_dedup(dup_docs).to_pandas()
+    # 3 duplicated texts + 3 near-dups + 1 unique = 7 distinct contents
+    assert len(agg) == 7
+    assert agg["n_copies"].sum() == 10
+    assert (agg[agg["n_copies"] == 2]["keep_id"] % 3 == 0).all()
+    kept = dedup.exact_dedup_keep_first(dup_docs).to_pandas()
+    assert len(kept) == 7
+    assert kept["text"].is_unique
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    got = dedup.minhash_lsh_pairs(dup_docs, threshold=0.5, concurrency=2).to_pandas()
+    pairs = set(map(tuple, got[["a", "b"]].to_numpy()))
+    # brute-force oracle at the same threshold
+    oracle_pairs = {
+        (a, b)
+        for a, b, j in dedup.ngram_jaccard_matrix(dup_docs)
+        if j >= 0.5
+    }
+    # exact dup pairs must be found (identical signatures)
+    for t in range(3):
+        assert (3 * t, 3 * t + 1) in pairs
+    # no false positives (verification is exact)
+    assert pairs <= oracle_pairs
+    # recall on this easy corpus should be total
+    assert pairs == oracle_pairs
+
+
+def test_simhash_pairs(dup_docs):
+    got = dedup.simhash_pairs(dup_docs, max_hamming=3, concurrency=2).to_pandas()
+    pairs = set(map(tuple, got[["a", "b"]].to_numpy()))
+    for t in range(3):
+        assert (3 * t, 3 * t + 1) in pairs  # exact dups: hamming 0
+    # verify step is exact -> no pair exceeds the bound
+    assert (got["hamming"] <= 3).all()
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _brute_topk(emb_pdf, queries, k):
+    m = np.vstack(emb_pdf["embedding"].to_numpy()).astype(np.float32)
+    ids = emb_pdf["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    out = {}
+    for qi in range(len(queries)):
+        order = np.lexsort((ids, -sims[qi]))[:k]
+        out[qi] = ids[order].tolist()
+    return out
+
+
+def test_topk_cosine_exact(emb):
+    pdf = emb.to_pandas()
+    queries = np.vstack(pdf["embedding"].to_numpy()[:3]).astype(np.float32)
+    got = similarity.topk_cosine(emb, queries, k=5).to_pandas()
+    want = _brute_topk(pdf, queries, 5)
+    for qi in range(3):
+        g = got[got["qid"] == qi].sort_values("score", ascending=False)
+        assert g["vec_id"].tolist() == want[qi]
+        # self is its own nearest neighbor
+        assert g["vec_id"].iloc[0] == pdf["vec_id"].iloc[qi]
+
+
+def test_lsh_topk_recall(emb):
+    pdf = emb.to_pandas()
+    queries = np.vstack(pdf["embedding"].to_numpy()[:10]).astype(np.float32)
+    got = similarity.lsh_topk(emb, queries, k=5, bits=5, multiprobe=2).to_pandas()
+    want = _brute_topk(pdf, queries, 5)
+    hits = tot = 0
+    for qi in range(10):
+        g = set(got[got["qid"] == qi]["vec_id"].tolist())
+        w = set(want[qi])
+        hits += len(g & w)
+        tot += len(w)
+    # probing ~half the buckets on a near-orthogonal random corpus; the
+    # self-vector always lands in its own (probed) bucket
+    assert hits / tot >= 0.5
+    for qi in range(10):
+        assert pdf["vec_id"].iloc[qi] in set(got[got["qid"] == qi]["vec_id"])
+
+
+def test_near_dup_cosine(emb):
+    pdf = emb.to_pandas()
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float32)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.triu(mn @ mn.T, 1)
+    # pick tau from the data so the expected pair set is non-trivial
+    tau = float(np.quantile(sims[np.triu_indices_from(sims, 1)], 0.9995))
+    ids = pdf["vec_id"].to_numpy()
+    ii, jj = np.nonzero(sims >= tau)
+    want = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+    assert len(want) >= 3
+    got = similarity.near_dup_cosine(emb, tau=tau).to_pandas()
+    assert set(map(tuple, got[["a", "b"]].to_numpy())) == want
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    items = rd.from_items(
+        [
+            {"item_id": i, "payload": multimodal.make_image_payload(32 + i, 16 + i, seed=i)}
+            for i in range(20)
+        ]
+    )
+    out = multimodal.decode_images(items, concurrency=2).to_pandas().sort_values("item_id")
+    np.testing.assert_array_equal(out["width"], 32 + np.arange(20))
+    np.testing.assert_array_equal(out["height"], 16 + np.arange(20))
+    resized = items.map_batches(
+        multimodal.DecodeImageStage, batch_format="pyarrow", concurrency=2
+    ).map_batches(multimodal.ResizeStage, batch_format="pyarrow",
+                  fn_constructor_kwargs={"target": 224}, concurrency=2).to_pandas()
+    assert (resized[["out_w", "out_h"]].max(axis=1) == 224).all()
+
+    vids = rd.from_items(
+        [{"item_id": i, "payload": multimodal.make_video_payload(12, 8, seed=i)}
+         for i in range(5)]
+    )
+    frames = multimodal.sample_frames(vids, stride=4).to_pandas()
+    assert sorted(frames["frame"].unique().tolist()) == [0, 4, 8]
+    assert len(frames) == 5 * 3
