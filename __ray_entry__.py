@@ -1,44 +1,497 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship link-graph pipeline on sf0.001;
+``queries()[name](sf_dir)`` are the operator pipelines from SURVEY §2 (plus
+the training-data operators); ``oracle_sql()[name]`` are their exact DuckDB
+twins where the semantics are SQL-expressible (identical column names and
+integer/IEEE-identical arithmetic by construction).  Ray is initialised by
+the driver BEFORE this module is imported — nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from pagerank_barrierfree_openmp_dynamic_ray.pipelines.derived import (
+    V,
+    derived_edge_sql,
+    derived_edges,
+    derived_layout,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror stages/graph_build.build_graph exactly:
+# dedup, drop self-loops, re-add a self-loop for EVERY vertex 0..V-1)
+# ---------------------------------------------------------------------------
+
+_E = derived_edge_sql()
+_FULL_E = f"""
+WITH raw AS ({_E}),
+     e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+     loops AS (SELECT x.range::BIGINT AS v FROM range({V}) x),
+     full_e AS (SELECT src, dst FROM e UNION ALL SELECT v, v FROM loops)
+"""
+
+_TOK = "regexp_extract_all(text, '\\S+')"
+_PIECES = "regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]')"
+_STOP = "('the','and','of','to','a','in','is','it')"
+
+
+def _i64(df):
+    """Normalize integer columns to int64 for the value-hash compare."""
+    import pandas as pd
+
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+def _q_lg_degree(sf_dir: str):
+    import ray.data as rd
+
+    lay = derived_layout(sf_dir)
+    df = rd.read_parquet(lay.degrees).to_pandas()
+    return _i64(df[["vid", "deg"]])
+
+
+def _q_lg_counts(sf_dir: str):
+    import pandas as pd
+
+    lay = derived_layout(sf_dir)
+    return pd.DataFrame({"n_vertices": [lay.n_vertices], "n_edges": [lay.n_edges]})
+
+
+def _q_lg_selfloops(sf_dir: str):
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import (
+        self_loop_count,
+    )
+
+    n = self_loop_count(derived_edges(sf_dir))
+    return pd.DataFrame({"n_selfloops": [int(n)]})
+
+
+def _q_lg_top_indegree(sf_dir: str):
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import (
+        out_degrees,
+        transpose,
+    )
+
+    lay = derived_layout(sf_dir)
+    edges = rd.read_parquet(lay.edges_in, columns=["src", "dst"])
+    indeg = out_degrees(transpose(edges))
+    top = indeg.rename_columns({"deg": "indeg"}).sort(
+        ["indeg", "vid"], descending=[True, False]
+    ).limit(20)
+    return _i64(top.to_pandas())
+
+
+def _q_lg_triangles(sf_dir: str):
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.triangles import (
+        triangle_count,
+    )
+
+    t = triangle_count(derived_edges(sf_dir), V)
+    return pd.DataFrame({"triangles": [int(t)]})
+
+
+# ---------------------------------------------------------------------------
+# PageRank / components / labels (iterative — no SQL twin, rows-only check;
+# the exact-match / allclose verification lives in tests/ vs numpy oracles)
+# ---------------------------------------------------------------------------
+
+def _pr_engine(sf_dir: str):
+    """Fresh engine per query with fractional actor CPUs: pinned actors must
+    never reserve the whole session or subsequent Dataset stages starve
+    (actor pools and map tasks share one CPU budget)."""
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        PageRankEngine,
+    )
+
+    return PageRankEngine(derived_layout(sf_dir), num_cpus_per_actor=0.25)
+
+
+def _top20_df(ranks: np.ndarray):
+    import pandas as pd
+
+    idx = np.lexsort((np.arange(len(ranks)), -ranks))[:20]
+    return pd.DataFrame(
+        {"vid": idx.astype("int64"), "rank": np.round(ranks[idx], 12)}
+    )
+
+
+def _q_pr_top20(sf_dir: str):
+    eng = _pr_engine(sf_dir)
+    try:
+        return _top20_df(eng.run(mode="barrier").ranks)
+    finally:
+        eng.shutdown()
+
+
+def _q_pr_barrierfree_top20(sf_dir: str):
+    eng = _pr_engine(sf_dir)
+    try:
+        return _top20_df(eng.run(mode="barrierfree").ranks)
+    finally:
+        eng.shutdown()
+
+
+def _q_pr_dynamic_frontier_top20(sf_dir: str):
+    import tempfile
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import Frontier
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
+        apply_batch_to_layout,
+        generate_batch,
+        layout_edge_arrays,
+    )
+
+    old = derived_layout(sf_dir)
+    eng = _pr_engine(sf_dir)
+    warm = eng.run(mode="barrier").ranks
+    eng.shutdown()
+    s0, d0 = layout_edge_arrays(old)
+    ds_, dd_, is_, id_ = generate_batch(s0, d0, V, batch_size=max(1, old.n_edges // 1000))
+    out = os.path.join(tempfile.gettempdir(), "graft_layouts",
+                       os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_upd")
+    new = apply_batch_to_layout(old, out, ds_, dd_, is_, id_)
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import PageRankEngine
+
+    eng2 = PageRankEngine(new, num_cpus_per_actor=0.25)
+    res = eng2.run(mode="barrier", q=warm,
+                   frontier=Frontier(old_layout=old, del_src=ds_, ins_src=is_))
+    eng2.shutdown()
+    return _top20_df(res.ranks)
+
+
+def _q_cc_components(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+    import tempfile
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
+        LabelEngine,
+        build_symmetric_layout,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "graft_layouts",
+                       os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_sym")
+    lay = build_symmetric_layout(derived_edges(sf_dir), out, 8, n_vertices=V)
+    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
+    res = eng.connected_components()
+    eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(V, dtype="int64"), "component": res.labels.astype("int64")}
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings / events queries
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_doc_token_counts(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.textstats import token_counts
+
+    return _i64(token_counts(_docs(sf_dir)).to_pandas())
+
+
+def _q_doc_quality(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.textstats import (
+        quality_scores,
+    )
+
+    return _i64(quality_scores(_docs(sf_dir)).to_pandas())
+
+
+def _q_doc_lang_id(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.textstats import lang_ids
+
+    return _i64(lang_ids(_docs(sf_dir)).to_pandas())
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.textstats import fingerprints
+
+    return _i64(fingerprints(_docs(sf_dir)).to_pandas()[["doc_id", "md5"]])
+
+
+def _q_doc_exact_dedup(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import exact_dedup
+
+    return _i64(exact_dedup(_docs(sf_dir)).to_pandas())
+
+
+def _q_doc_minhash_pairs(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).to_pandas()
+    df["jaccard"] = np.round(df["jaccard"], 9)
+    return _i64(df)
+
+
+def _q_doc_simhash_pairs(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import simhash_pairs
+
+    return _i64(simhash_pairs(_docs(sf_dir), max_hamming=3).to_pandas())
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_ann_top3(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import topk_cosine
+
+    emb = _emb(sf_dir)
+    qdf = (
+        emb.to_pandas().query("vec_id < 5").sort_values("vec_id").reset_index(drop=True)
+    )
+    queries = np.vstack(qdf["embedding"].to_numpy()).astype(np.float64)
+    got = topk_cosine(emb, queries, k=3, dtype=np.float64).to_pandas()
+    got["qid"] = qdf["vec_id"].to_numpy()[got["qid"].to_numpy()]
+    got = got.sort_values(["qid", "score"], ascending=[True, False])
+    got["rnk"] = got.groupby("qid").cumcount() + 1
+    return _i64(got[["qid", "vec_id", "rnk"]].reset_index(drop=True))
+
+
+def _q_ann_lsh_top3(sf_dir: str):
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import lsh_topk
+
+    emb = _emb(sf_dir)
+    qdf = (
+        emb.to_pandas().query("vec_id < 5").sort_values("vec_id").reset_index(drop=True)
+    )
+    queries = np.vstack(qdf["embedding"].to_numpy()).astype(np.float32)
+    got = lsh_topk(emb, queries, k=3, bits=5, multiprobe=2).to_pandas()
+    got["qid"] = qdf["vec_id"].to_numpy()[got["qid"].to_numpy()]
+    got = got.sort_values(["qid", "score"], ascending=[True, False])
+    got["rnk"] = got.groupby("qid").cumcount() + 1
+    return _i64(got[["qid", "vec_id", "rnk"]].reset_index(drop=True))
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # microseconds
+        hour = ts // 3_600_000_000
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        df = pd.DataFrame({"event_type": et, "hour": hour, "value": val})
+        g = df.groupby(["event_type", "hour"], sort=False).agg(
+            n_part=("value", "size"), mn=("value", "min"), mx=("value", "max")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Min("mn", alias_name="min_value"),
+            Max("mx", alias_name="max_value"),
+        )
+    )
+    return _i64(out.to_pandas())
+
+
+def _q_li_pruned_agg(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"],
+    )
+    out = li.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return _i64(out.to_pandas())
+
+
+def _q_pages_flagship(sf_dir: str):
+    """Flagship web pipeline: synthetic corpus -> extract -> graph ->
+    static PageRank -> top 20 (rows-only; corpus is seed-deterministic)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        PageRankEngine,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.sources.pages import write_pages
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import (
+        build_graph_from_pages,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "graft_flagship")
+    pages_dir = os.path.join(root, "pages")
+    if not os.path.isdir(pages_dir):
+        write_pages(pages_dir, 1000)
+    lay = build_graph_from_pages(
+        rd.read_parquet(pages_dir), os.path.join(root, "graph"), num_partitions=4
+    )
+    eng = PageRankEngine(lay, num_cpus_per_actor=0.25)
+    res = eng.run(mode="barrier")
+    eng.shutdown()
+    return _top20_df(res.ranks)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke on /root/testdata/sf0.001."""
+    return _q_pr_top20("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph operators (SQL-checked)
+        "lg_degree": _q_lg_degree,
+        "lg_counts": _q_lg_counts,
+        "lg_selfloops": _q_lg_selfloops,
+        "lg_top_indegree": _q_lg_top_indegree,
+        "lg_triangles": _q_lg_triangles,
+        # iterative graph algorithms (rows-only; pytest oracles)
+        "pr_top20": _q_pr_top20,
+        "pr_barrierfree_top20": _q_pr_barrierfree_top20,
+        "pr_dynamic_frontier_top20": _q_pr_dynamic_frontier_top20,
+        "cc_components": _q_cc_components,
+        "pages_flagship": _q_pages_flagship,
+        # text analysis (SQL-checked)
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        # near-dup family (rows-only; pytest oracles)
+        "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        # similarity search
+        "ann_top3": _q_ann_top3,
+        "ann_lsh_top3": _q_ann_lsh_top3,
+        # stream-shaped + pruned-read aggregates (SQL-checked)
+        "events_window": _q_events_window,
+        "li_pruned_agg": _q_li_pruned_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lg_degree": _FULL_E
+        + "SELECT src AS vid, COUNT(*) AS deg FROM full_e GROUP BY src",
+        "lg_counts": _FULL_E
+        + f"SELECT {V}::BIGINT AS n_vertices, (SELECT COUNT(*) FROM full_e) AS n_edges",
+        "lg_selfloops": f"SELECT COUNT(*) AS n_selfloops FROM ({_E}) WHERE src = dst",
+        "lg_top_indegree": _FULL_E
+        + "SELECT dst AS vid, COUNT(*) AS indeg FROM full_e GROUP BY dst "
+        "ORDER BY indeg DESC, vid LIMIT 20",
+        "lg_triangles": f"""
+WITH raw AS ({_E}),
+     und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+             FROM raw WHERE src <> dst),
+     deg AS (SELECT v, COUNT(*) AS c
+             FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+             GROUP BY v),
+     orient AS (
+       SELECT CASE WHEN (d1.c, u.lo) < (d2.c, u.hi) THEN u.lo ELSE u.hi END AS s,
+              CASE WHEN (d1.c, u.lo) < (d2.c, u.hi) THEN u.hi ELSE u.lo END AS t
+       FROM und u JOIN deg d1 ON d1.v = u.lo JOIN deg d2 ON d2.v = u.hi)
+SELECT COUNT(*) AS triangles
+FROM orient a JOIN orient b ON b.s = a.t JOIN orient c ON c.s = a.s AND c.t = b.t
+""",
+        "doc_token_counts": f"SELECT doc_id, len({_TOK}) AS n_tokens, "
+        f"len({_PIECES}) AS n_pieces FROM documents",
+        "doc_quality": f"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len({_TOK}) AS n_tokens,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         / GREATEST(len({_TOK}), 1) AS mean_tok_len,
+       CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS punct_ratio,
+       CAST(len(list_filter({_TOK}, x -> x IN {_STOP})) AS DOUBLE)
+         / GREATEST(len({_TOK}), 1) AS stop_ratio,
+       len({_TOK}) >= 10
+         AND CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / GREATEST(len({_TOK}), 1) >= 2
+         AND CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / GREATEST(len({_TOK}), 1) <= 12
+         AND CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1) < 0.2 AS quality_pass
+FROM documents
+""",
+        "doc_lang_id": """
+WITH s AS (
+  SELECT doc_id,
+         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
+         len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+             x -> x IN ('the','and','of','is'))) AS en,
+         len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+             x -> x IN ('der','die','und','das'))) AS de,
+         len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+             x -> x IN ('le','la','et','les'))) AS fr,
+         len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+             x -> x IN ('el','los','y','las'))) AS es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN cjk THEN 'zh'
+            WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+            WHEN en = GREATEST(en, de, fr, es) THEN 'en'
+            WHEN de = GREATEST(en, de, fr, es) THEN 'de'
+            WHEN fr = GREATEST(en, de, fr, es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+""",
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "doc_exact_dedup": "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, "
+        "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
+        "ann_top3": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+SELECT qid, e.vec_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY list_cosine_similarity(qe, e.embedding) DESC,
+                                   e.vec_id) AS rnk
+FROM q, embeddings e
+QUALIFY rnk <= 3
+""",
+        "events_window": """
+SELECT event_type,
+       date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hour,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type, hour
+""",
+        "li_pruned_agg": "SELECT l_returnflag, COUNT(*) AS n_rows, "
+        "SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
+    }

@@ -17,7 +17,9 @@ import numpy as np
 import pyarrow as pa
 
 TOKEN_RE = re.compile(r"\S+")
-WORDISH_RE = re.compile(r"\w+|[^\w\s]", re.U)  # BPE-ish pre-tokenizer pieces
+# BPE-ish pre-tokenizer pieces; explicit ASCII classes so the RE2 (DuckDB)
+# twin '[0-9A-Za-z_]+|[^0-9A-Za-z_\s]' matches byte-for-byte on unicode text
+WORDISH_RE = re.compile(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]")
 PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")  # exactly string.punctuation
 CJK_RE = re.compile(r"[一-鿿]")
 

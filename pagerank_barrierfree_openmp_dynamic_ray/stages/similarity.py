@@ -20,10 +20,10 @@ import pyarrow as pa
 import ray
 
 
-def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+def _batch_matrix(batch: pa.Table, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     emb = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False))
-    return ids, emb.astype(np.float32)
+    return ids, emb.astype(dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -32,15 +32,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def topk_cosine(embeddings, queries: np.ndarray, k: int = 10):
+def topk_cosine(embeddings, queries: np.ndarray, k: int = 10, dtype=np.float32):
     """(qid, vec_id, score) global top-k per query row, ordered by
-    (qid, score desc, vec_id).  ``queries``: (Q, d) float array."""
-    qn = _normalize(np.asarray(queries, np.float32))
+    (qid, score desc, vec_id).  ``queries``: (Q, d) float array.  ``dtype``
+    float32 for throughput (default) or float64 for oracle-grade precision."""
+    qn = _normalize(np.asarray(queries, dtype))
     qref = ray.put(qn)
 
     def partial(batch: pa.Table) -> pa.Table:
         q = ray.get(qref)
-        ids, emb = _batch_matrix(batch)
+        ids, emb = _batch_matrix(batch, q.dtype)
         sims = _normalize(emb) @ q.T  # (B, Q)
         kk = min(k, len(ids))
         top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
