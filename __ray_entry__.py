@@ -293,6 +293,166 @@ def _q_ann_lsh_top3(sf_dir: str):
     return _i64(got[["qid", "vec_id", "rnk"]].reset_index(drop=True))
 
 
+def _q_lp_labels(sf_dir: str):
+    import pandas as pd
+    import tempfile
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
+        LabelEngine,
+        build_symmetric_layout,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "graft_layouts",
+                       os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_sym")
+    lay = build_symmetric_layout(derived_edges(sf_dir), out, 8, n_vertices=V)
+    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
+    res = eng.label_propagation()
+    eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(V, dtype="int64"), "label": res.labels.astype("int64")}
+    )
+
+
+def _q_doc_ngram_jaccard(sf_dir: str):
+    """Exact word-3-shingle Jaccard pairs (doc_id < 100, j >= 0.02).  The
+    engine scores hashed shingles; the SQL twin scores the shingle strings —
+    identical set sizes absent 64-bit collisions, so identical doubles."""
+    import pyarrow.compute as pc
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    def head(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["doc_id"], 100))
+
+    sub = _docs(sf_dir).map_batches(head, batch_format="pyarrow")
+    df = ngram_jaccard_pairs(sub, threshold=0.02).to_pandas()
+    df["jaccard"] = np.round(df["jaccard"], 9)
+    return _i64(df)
+
+
+def _q_emb_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pair SET at tau=0.45 (float64 kernel; the
+    margin to the threshold is >5e-4 on this corpus, so the pair set is
+    precision-robust and SQL-checkable)."""
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import (
+        near_dup_cosine,
+    )
+
+    df = near_dup_cosine(_emb(sf_dir), tau=0.45, dtype=np.float64).to_pandas()
+    return _i64(df[["a", "b"]])
+
+
+def _q_rev_by_nation(sf_dir: str):
+    """Broadcast-join showcase: lineitem ⋈ orders ⋈ customer ⋈ nation with
+    every dimension side shipped once via ray.put, then a partial-aggregate
+    map_batches before the final small groupby.  Revenue is summed in integer
+    cents (floor(x*100+0.5)) so Ray and DuckDB agree bit-for-bit."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import broadcast_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    j = broadcast_join(li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+    j = broadcast_join(j, cust, "o_custkey", "c_custkey", ["c_nationkey"])
+    j = broadcast_join(j, nation, "c_nationkey", "n_nationkey", ["n_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"n_name": batch["n_name"].to_numpy(zero_copy_only=False), "c": cents}
+        )
+        g = df.groupby("n_name", sort=False).agg(
+            part_rev=("c", "sum"), part_n=("c", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("part_rev", alias_name="revenue_cents"),
+            Sum("part_n", alias_name="n_items"),
+        )
+    )
+    return _i64(out.to_pandas())
+
+
+def _q_mm_image_stats(sf_dir: str):
+    """Multimodal plumbing: binary image payloads -> actor-pool decode ->
+    resize geometry.  Deterministic synthetic payloads (the codec boundary is
+    the documented stub — see stages/multimodal.py)."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.multimodal import (
+        ResizeStage,
+        decode_images,
+        make_image_payload,
+    )
+
+    n = 64
+    items = pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(
+                [make_image_payload(32 + (i % 5) * 16, 24 + (i % 7) * 16, i)
+                 for i in range(n)],
+                pa.binary(),
+            ),
+        }
+    )
+    ds = rd.from_arrow(items).repartition(4)
+    out = decode_images(ds, concurrency=2, batch_size=16).map_batches(
+        ResizeStage, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+    df = out.to_pandas()
+    df["mean_pixel"] = np.round(df["mean_pixel"], 9)
+    return _i64(df.sort_values("item_id").reset_index(drop=True))
+
+
+def _q_mm_frames(sf_dir: str):
+    """Video frame-sampling plumbing: VID! payloads -> every 4th frame's
+    feature row (one row per sampled frame — flat_map-shaped output)."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.multimodal import (
+        make_video_payload,
+        sample_frames,
+    )
+
+    n = 32
+    items = pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(
+                [make_video_payload(8 + (i % 4) * 4, 64, i) for i in range(n)],
+                pa.binary(),
+            ),
+        }
+    )
+    df = sample_frames(rd.from_arrow(items).repartition(4), stride=4).to_pandas()
+    df["mean_value"] = np.round(df["mean_value"], 9)
+    return _i64(df.sort_values(["item_id", "frame"]).reset_index(drop=True))
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Max, Min, Sum
@@ -386,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_barrierfree_top20": _q_pr_barrierfree_top20,
         "pr_dynamic_frontier_top20": _q_pr_dynamic_frontier_top20,
         "cc_components": _q_cc_components,
+        "lp_labels": _q_lp_labels,
         "pages_flagship": _q_pages_flagship,
         # text analysis (SQL-checked)
         "doc_token_counts": _q_doc_token_counts,
@@ -396,10 +557,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup family (rows-only; pytest oracles)
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         # similarity search
         "ann_top3": _q_ann_top3,
         "ann_lsh_top3": _q_ann_lsh_top3,
-        # stream-shaped + pruned-read aggregates (SQL-checked)
+        "emb_near_dup": _q_emb_near_dup,
+        # multimodal plumbing (rows-only; deterministic fake codec)
+        "mm_image_stats": _q_mm_image_stats,
+        "mm_frames": _q_mm_frames,
+        # joins + stream-shaped + pruned-read aggregates (SQL-checked)
+        "rev_by_nation": _q_rev_by_nation,
         "events_window": _q_events_window,
         "li_pruned_agg": _q_li_pruned_agg,
     }
@@ -483,6 +650,40 @@ SELECT qid, e.vec_id,
                                    e.vec_id) AS rnk
 FROM q, embeddings e
 QUALIFY rnk <= 3
+""",
+        "doc_ngram_jaccard": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tok
+  FROM documents WHERE doc_id < 100
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tok) - 1),
+            i -> tok[i] || chr(1) || tok[i+1] || chr(1) || tok[i+2])) AS s
+  FROM t
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 9) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.02
+""",
+        "emb_near_dup": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+""",
+        "rev_by_nation": """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey  = l_orderkey
+JOIN customer ON c_custkey   = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+GROUP BY n_name
 """,
         "events_window": """
 SELECT event_type,

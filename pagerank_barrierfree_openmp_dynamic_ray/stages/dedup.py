@@ -215,6 +215,36 @@ def simhash_pairs(docs, max_hamming: int = 3, bands: int = 4, concurrency: int =
 # n-gram Jaccard (direct pair scoring)
 # ---------------------------------------------------------------------------
 
+def ngram_jaccard_pairs(docs, threshold: float = 0.1, shingle_k: int = 3):
+    """(a, b, jaccard) for all pairs with exact n-gram Jaccard >= threshold.
+
+    The shingle store for the candidate set is broadcast once (``ray.put``);
+    each batch scores its own rows against the full set — the same
+    broadcast-small-side shape as similarity.near_dup_cosine.  Use on small /
+    pre-filtered candidate sets; minhash_lsh_pairs is the scale path."""
+    pdf = docs.select_columns(["doc_id", "text"]).to_pandas()
+    store = {int(i): shingle_hashes(t, shingle_k)
+             for i, t in zip(pdf["doc_id"], pdf["text"])}
+    ref = ray.put(store)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oa, ob, oj = [], [], []
+        for a in ids:
+            sa = st[int(a)]
+            for b, sb in st.items():
+                if b > a:
+                    j = jaccard(sa, sb)
+                    if j >= threshold:
+                        oa.append(int(a)); ob.append(b); oj.append(j)
+        return pa.table({"a": pa.array(oa, pa.int64()),
+                         "b": pa.array(ob, pa.int64()),
+                         "jaccard": pa.array(oj, pa.float64())})
+
+    return docs.map_batches(pairs, batch_format="pyarrow")
+
+
 def ngram_jaccard_matrix(docs, shingle_k: int = 3):
     """All-pairs exact Jaccard (test oracle / small candidate sets only —
     O(n^2); the LSH path above is the scale version)."""

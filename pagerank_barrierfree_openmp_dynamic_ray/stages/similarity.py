@@ -153,18 +153,19 @@ def lsh_topk(embeddings, queries: np.ndarray, k: int = 10, bits: int = 6,
     return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
 
 
-def near_dup_cosine(embeddings, tau: float = 0.95):
+def near_dup_cosine(embeddings, tau: float = 0.95, dtype=np.float32):
     """All pairs (a < b, cosine >= tau).  The corpus matrix is broadcast once
     (sandbox scale); each batch multiplies against it — O(N x B x d) blocked.
-    Scale path: bucket by hyperplane code first (same verify kernel)."""
+    Scale path: bucket by hyperplane code first (same verify kernel).
+    ``dtype=np.float64`` for oracle-grade comparisons against SQL twins."""
     pdf = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
     all_ids = pdf["vec_id"].to_numpy().astype(np.int64)
-    allm = _normalize(np.vstack(pdf["embedding"].to_numpy()).astype(np.float32))
+    allm = _normalize(np.vstack(pdf["embedding"].to_numpy()).astype(dtype))
     ref = ray.put((all_ids, allm))
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_all, m_all = ray.get(ref)
-        ids, emb = _batch_matrix(batch)
+        ids, emb = _batch_matrix(batch, dtype)
         sims = _normalize(emb) @ m_all.T  # (B, N)
         bi, aj = np.nonzero(sims >= tau)
         a = ids[bi]

@@ -1,0 +1,70 @@
+"""Broadcast hash-join operator (stages/joins.py) vs pandas merge."""
+
+import numpy as np
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_ray.stages import dedup
+from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import broadcast_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_broadcast_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    got = (
+        broadcast_join(li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_quantity", "o_custkey"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge(
+            li.to_pandas(),
+            orders.to_pandas(),
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )[["l_orderkey", "l_quantity", "o_custkey"]]
+        .sort_values(["l_orderkey", "l_quantity", "o_custkey"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_broadcast_join_raises_on_fk_miss(ray_session):
+    import ray.data as rd
+
+    left = rd.from_items([{"k": 1}, {"k": 99}])
+    right = rd.from_items([{"k": 1, "v": 10}])
+    with pytest.raises(Exception):
+        broadcast_join(left, right, "k", "k", ["v"]).materialize()
+
+
+def test_ngram_jaccard_pairs_matches_matrix(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon eta"},
+        {"doc_id": 2, "text": "one two three four five six seven"},
+        {"doc_id": 3, "text": "one two three four five six eight"},
+        {"doc_id": 4, "text": "unrelated text entirely different words"},
+    ]
+    docs = rd.from_items(rows)
+    got = {
+        (int(r["a"]), int(r["b"])): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).take_all()
+    }
+    exp = {
+        (a, b): j
+        for a, b, j in dedup.ngram_jaccard_matrix(docs, shingle_k=3)
+        if j >= 0.1
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert np.isclose(got[k], exp[k])
+    assert (0, 1) in got and (2, 3) in got
