@@ -180,6 +180,30 @@ def _q_pr_dynamic_frontier_top20(sf_dir: str):
     return _top20_df(res.ranks)
 
 
+def _q_pr_hot_split_top20(sf_dir: str):
+    """Static PageRank on a layout built WITH hot-vertex splitting forced on
+    (threshold 8 marks the top in-degree vertices hot on the derived graph).
+    Same fixed point as pr_top20 (ranks agree to ~1e-9; tie ORDER among
+    equal-ranked vids may differ — summation order changes with the physical
+    plan, SURVEY §7 hard part (b))."""
+    import tempfile
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        PageRankEngine,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import build_graph
+
+    out = os.path.join(tempfile.gettempdir(), "graft_layouts",
+                       os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_hot")
+    lay = build_graph(derived_edges(sf_dir), out, 8, n_vertices=V,
+                      hot_in_threshold=8)
+    eng = PageRankEngine(lay, num_cpus_per_actor=0.25)
+    try:
+        return _top20_df(eng.run(mode="barrier").ranks)
+    finally:
+        eng.shutdown()
+
+
 def _q_cc_components(sf_dir: str):
     import pandas as pd
     import ray.data as rd
@@ -545,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_top20": _q_pr_top20,
         "pr_barrierfree_top20": _q_pr_barrierfree_top20,
         "pr_dynamic_frontier_top20": _q_pr_dynamic_frontier_top20,
+        "pr_hot_split_top20": _q_pr_hot_split_top20,
         "cc_components": _q_cc_components,
         "lp_labels": _q_lp_labels,
         "pages_flagship": _q_pages_flagship,

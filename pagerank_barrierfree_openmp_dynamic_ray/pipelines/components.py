@@ -43,6 +43,12 @@ class LabelEngine:
     def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0):
         from ..state.partition_actor import CsrPartitionActor
 
+        if layout.n_hot:
+            raise ValueError(
+                "LabelEngine requires a layout without hot-vertex splitting "
+                "(build with hot_in_threshold=None); the min/mode combine "
+                "for split vertices is not implemented"
+            )
         self.layout = layout
         self.P = layout.num_partitions
         self.n = layout.n_vertices

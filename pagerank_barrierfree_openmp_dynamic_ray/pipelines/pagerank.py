@@ -189,11 +189,22 @@ class PageRankEngine:
         """With-barrier loop (`src/pagerankBasic.hxx:53-68`): double-buffered
         shards, one global residual reduce per iteration."""
         shard_refs = [a.shard.remote() for a in self.actors]
+        hot_on = self.layout.n_hot > 0
         iters, residual = 0, float("inf")
         while iters < max_iter:
+            hot_sums = None
+            if hot_on:
+                # phase A (skew split): every partition gathers + returns its
+                # hot partials; the driver combines the (tiny) vectors and
+                # feeds them to phase B, which reuses the cached gather.
+                parts = ray.get(
+                    [a.hot_partial_step.remote(shard_refs) for a in self.actors]
+                )
+                hot_sums = np.sum(parts, axis=0)
             futs = [
                 a.step.options(num_returns=2).remote(
-                    shard_refs, c0, damping, tol, frontier_d
+                    None if hot_on else shard_refs, c0, damping, tol, frontier_d,
+                    hot_sums,
                 )
                 for a in self.actors
             ]

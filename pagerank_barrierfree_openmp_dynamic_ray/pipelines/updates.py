@@ -124,28 +124,44 @@ def apply_batch_to_layout(
     """Old layout + batch -> NEW persistent layout (the reference's
     `y = duplicate(x); apply batch; yt = transposeWithDegree(y)`,
     `main.cxx:100-108`).  Reads the old edges from the partitioned parquet."""
+    import os
+
     import ray.data as rd
 
     edges = rd.read_parquet(layout.edges_in, columns=["src", "dst"])
+    if layout.n_hot and os.path.isdir(layout.edges_in_hot):
+        edges = edges.union(
+            rd.read_parquet(layout.edges_in_hot, columns=["src", "dst"])
+        )
     updated = apply_batch(
         edges, layout.n_vertices, del_src, del_dst, ins_src, ins_dst
     )
-    # add_self_loops already applied; build_graph would re-apply (idempotent)
+    # add_self_loops already applied; build_graph would re-apply (idempotent);
+    # the old layout's split policy carries over — hot vertices are
+    # re-detected on the updated graph (in-degrees may have shifted)
     return build_graph(
         updated,
         out_dir,
         layout.num_partitions,
         n_vertices=layout.n_vertices,
         add_loops=False,
+        hot_in_threshold=layout.hot_in_threshold,
     )
 
 
 def layout_edge_arrays(layout: GraphLayout) -> tuple[np.ndarray, np.ndarray]:
     """All edges of a layout as driver numpy arrays (test/oracle helper)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    t = pq.read_table(layout.edges_in, columns=["src", "dst"])
-    return (
-        t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
-        t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+    tabs = [pq.read_table(layout.edges_in, columns=["src", "dst"])]
+    if layout.n_hot and os.path.isdir(layout.edges_in_hot):
+        tabs.append(pq.read_table(layout.edges_in_hot, columns=["src", "dst"]))
+    s = np.concatenate(
+        [t["src"].to_numpy(zero_copy_only=False).astype(np.int64) for t in tabs]
     )
+    d = np.concatenate(
+        [t["dst"].to_numpy(zero_copy_only=False).astype(np.int64) for t in tabs]
+    )
+    return s, d

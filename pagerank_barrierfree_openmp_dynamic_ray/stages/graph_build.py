@@ -193,16 +193,28 @@ def self_loop_count(edges) -> int:
 
 @dataclass
 class GraphLayout:
-    """Handle to a built graph on disk (the engine's unit of lineage)."""
+    """Handle to a built graph on disk (the engine's unit of lineage).
+
+    ``n_hot`` > 0 means the layout splits high-in-degree ("hot") vertices:
+    their in-edges live under ``edges_in_hot`` partitioned by ``src % P``
+    (every partition holds a shard and computes a partial sum per sweep)
+    instead of all landing on the owner — the north rule's explicit skew
+    handling.  The hot vid list is ``hot.npy`` in the layout dir."""
 
     path: str
     n_vertices: int
     n_edges: int
     num_partitions: int
+    n_hot: int = 0
+    hot_in_threshold: int | None = None
 
     @property
     def edges_in(self) -> str:
         return os.path.join(self.path, "edges_in")
+
+    @property
+    def edges_in_hot(self) -> str:
+        return os.path.join(self.path, "edges_in_hot")
 
     @property
     def edges_out(self) -> str:
@@ -212,6 +224,11 @@ class GraphLayout:
     def degrees(self) -> str:
         return os.path.join(self.path, "degrees")
 
+    def hot_vids(self) -> np.ndarray:
+        if self.n_hot == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.load(os.path.join(self.path, "hot.npy"))
+
     def save(self) -> None:
         with open(os.path.join(self.path, "lineage.json"), "w") as f:
             json.dump(
@@ -219,7 +236,9 @@ class GraphLayout:
                     "n_vertices": self.n_vertices,
                     "n_edges": self.n_edges,
                     "num_partitions": self.num_partitions,
-                    "layout": ["edges_in", "edges_out", "degrees"],
+                    "n_hot": self.n_hot,
+                    "hot_in_threshold": self.hot_in_threshold,
+                    "layout": ["edges_in", "edges_in_hot", "edges_out", "degrees"],
                 },
                 f,
                 indent=2,
@@ -229,7 +248,10 @@ class GraphLayout:
     def load(cls, path: str) -> "GraphLayout":
         with open(os.path.join(path, "lineage.json")) as f:
             m = json.load(f)
-        return cls(path, m["n_vertices"], m["n_edges"], m["num_partitions"])
+        return cls(
+            path, m["n_vertices"], m["n_edges"], m["num_partitions"],
+            m.get("n_hot", 0), m.get("hot_in_threshold"),
+        )
 
 
 def _write_partitioned(ds, path: str, key: str, num_partitions: int) -> None:
@@ -246,6 +268,19 @@ def _write_partitioned(ds, path: str, key: str, num_partitions: int) -> None:
     )
 
 
+def find_hot_vertices(edges, threshold: int) -> np.ndarray:
+    """Sorted vids whose IN-degree >= threshold (the skew set).  The
+    in-degree table is a distributed aggregate; only the (tiny) hot list is
+    collected on the driver."""
+    indeg = out_degrees(transpose(edges))
+    hot = indeg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["deg"], threshold)),
+        batch_format="pyarrow",
+    ).select_columns(["vid"])
+    arr = hot.to_pandas()["vid"].to_numpy()
+    return np.sort(arr.astype(np.int64))
+
+
 def build_graph(
     edges,
     out_dir: str,
@@ -253,6 +288,7 @@ def build_graph(
     n_vertices: int | None = None,
     add_loops: bool = True,
     overwrite: bool = True,
+    hot_in_threshold: int | None = None,
 ) -> GraphLayout:
     """Edge Dataset (src, dst uint64) -> persistent partitioned graph layout.
 
@@ -261,6 +297,16 @@ def build_graph(
     and by src (frontier side).  ``n_vertices`` defaults to max(vid)+1 (the
     reference's ``span()``, ``src/Graph.hxx:35``); all ids in [0, n) exist as
     vertices (dense id space from :func:`vertex_table`).
+
+    ``hot_in_threshold``: vertices with in-degree >= this are "hot" — their
+    in-edges are laid out by ``src % P`` (a shard everywhere) instead of
+    ``dst % P`` (all on the owner), so no partition's sweep is dominated by a
+    celebrity vertex and no single ``part=`` file is oversized.  ``None``
+    disables splitting (valid: the engine treats it as n_hot=0).  The
+    reference has no counterpart (its dynamic OpenMP schedule hides skew
+    inside one shared heap, `src/pagerank.hxx:247`); at cluster scale the
+    split is what keeps the contribution shuffle balanced (SURVEY §4 skew
+    row).
     """
     if overwrite and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
@@ -285,14 +331,43 @@ def build_graph(
     # dedup shuffle three times.
     final = final.materialize()
 
-    _write_partitioned(final, os.path.join(out_dir, "edges_in"), "dst", num_partitions)
+    hot = (
+        find_hot_vertices(final, hot_in_threshold)
+        if hot_in_threshold is not None
+        else np.empty(0, dtype=np.int64)
+    )
+    if len(hot):
+        hot_ref = ray.put(hot)
+
+        def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
+            h = ray.get(hot_ref)
+            d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(d, h)
+            return batch.filter(pa.array(m if keep_hot else ~m))
+
+        cold = final.map_batches(split, batch_format="pyarrow",
+                                 fn_kwargs={"keep_hot": False})
+        hot_edges = final.map_batches(split, batch_format="pyarrow",
+                                      fn_kwargs={"keep_hot": True})
+        _write_partitioned(cold, os.path.join(out_dir, "edges_in"), "dst",
+                           num_partitions)
+        _write_partitioned(hot_edges, os.path.join(out_dir, "edges_in_hot"),
+                           "src", num_partitions)
+        np.save(os.path.join(out_dir, "hot.npy"), hot)
+    else:
+        _write_partitioned(final, os.path.join(out_dir, "edges_in"), "dst",
+                           num_partitions)
+
     _write_partitioned(final, os.path.join(out_dir, "edges_out"), "src", num_partitions)
     _write_partitioned(
         out_degrees(final), os.path.join(out_dir, "degrees"), "vid", num_partitions
     )
     n_edges = final.count()
 
-    layout = GraphLayout(out_dir, int(n_vertices), int(n_edges), num_partitions)
+    layout = GraphLayout(
+        out_dir, int(n_vertices), int(n_edges), num_partitions, int(len(hot)),
+        hot_in_threshold,
+    )
     layout.save()
     return layout
 

@@ -65,6 +65,17 @@ class CsrPartition:
     # out-edge side (sorted by (src_local, dst))
     out_indptr: np.ndarray  # int64 [n_owned+1]
     out_dst: np.ndarray  # uint64 global dst vids
+    # hot-vertex split (skew handling): this partition's src%P shard of the
+    # in-edges of every HOT (high-in-degree) vertex.  hot_slot indexes the
+    # GLOBAL sorted hot list; hot_src_pos indexes the gathered cvals.
+    n_hot: int = 0
+    hot_slot: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    hot_src_pos: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    # owned hot vertices: local slot + index into the global hot list, and a
+    # dense slot->hot-index map (-1 = cold) for frontier-selected sweeps
+    own_hot_slots: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    own_hot_idx: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    hot_idx_of_slot: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
 
     @staticmethod
     def owned_count(n_vertices: int, pid: int, num_partitions: int) -> int:
@@ -85,11 +96,18 @@ class CsrPartition:
         out_dst: np.ndarray,
         deg_vid: np.ndarray,
         deg: np.ndarray,
+        hot_vids: np.ndarray | None = None,
+        hot_src: np.ndarray | None = None,
+        hot_dst: np.ndarray | None = None,
     ) -> "CsrPartition":
         P = num_partitions
         n_owned = cls.owned_count(n_vertices, pid, P)
+        hot_vids = np.asarray(hot_vids if hot_vids is not None else [], np.int64)
+        hot_src = np.asarray(hot_src if hot_src is not None else [], np.int64)
+        hot_dst = np.asarray(hot_dst if hot_dst is not None else [], np.int64)
+        n_hot = len(hot_vids)
 
-        # ---- in-CSR (edges whose dst is owned) ----
+        # ---- in-CSR (cold edges whose dst is owned) ----
         in_src = np.asarray(in_src, dtype=np.int64)
         in_dst = np.asarray(in_dst, dtype=np.int64)
         dl = in_dst // P
@@ -99,13 +117,14 @@ class CsrPartition:
         in_indptr = np.zeros(n_owned + 1, dtype=np.int64)
         np.cumsum(np.bincount(dl, minlength=n_owned), out=in_indptr[1:])
 
-        # ---- gather plan over distinct sources ----
-        usrc = np.unique(s)  # sorted by vid
+        # ---- gather plan over distinct sources (cold + hot-shard edges) ----
+        usrc = np.unique(np.concatenate([s, hot_src]))  # sorted by vid
         owner = usrc % P
         by_owner = np.argsort(owner, kind="stable")  # (owner, vid) order
         inv = np.empty(len(usrc), dtype=np.int64)
         inv[by_owner] = np.arange(len(usrc), dtype=np.int64)
         src_pos = inv[np.searchsorted(usrc, s)]
+        hot_src_pos = inv[np.searchsorted(usrc, hot_src)]
         owner_sorted = owner[by_owner]
         usrc_sorted = usrc[by_owner]
         needed_parts, first = np.unique(owner_sorted, return_index=True)
@@ -114,6 +133,14 @@ class CsrPartition:
             (usrc_sorted[bounds[i]: bounds[i + 1]] // P).astype(np.int64)
             for i in range(len(needed_parts))
         ]
+
+        # ---- hot split bookkeeping ----
+        hot_slot = np.searchsorted(hot_vids, hot_dst) if n_hot else np.empty(0, np.int64)
+        own_hot = hot_vids[hot_vids % P == pid] if n_hot else np.empty(0, np.int64)
+        own_hot_slots = (own_hot // P).astype(np.int64)
+        own_hot_idx = np.searchsorted(hot_vids, own_hot).astype(np.int64)
+        hot_idx_of_slot = np.full(n_owned, -1, dtype=np.int64)
+        hot_idx_of_slot[own_hot_slots] = own_hot_idx
 
         # ---- owned degrees ----
         outdeg = np.zeros(n_owned, dtype=np.float64)
@@ -143,6 +170,12 @@ class CsrPartition:
             outdeg=outdeg,
             out_indptr=out_indptr,
             out_dst=od,
+            n_hot=n_hot,
+            hot_slot=hot_slot,
+            hot_src_pos=hot_src_pos,
+            own_hot_slots=own_hot_slots,
+            own_hot_idx=own_hot_idx,
+            hot_idx_of_slot=hot_idx_of_slot,
         )
 
     @classmethod
@@ -166,10 +199,16 @@ class CsrPartition:
         ein = read("edges_in", ["src", "dst"])
         eout = read("edges_out", ["src", "dst"])
         degs = read("degrees", ["vid", "deg"])
+        hot_vids = hot_src = hot_dst = None
+        if meta.get("n_hot", 0):
+            hot_vids = np.load(os.path.join(layout_path, "hot.npy"))
+            ehot = read("edges_in_hot", ["src", "dst"])
+            hot_src, hot_dst = ehot["src"], ehot["dst"]
         return cls.build(
             pid, P, n,
             ein["src"], ein["dst"], eout["src"], eout["dst"],
             degs["vid"], degs["deg"],
+            hot_vids=hot_vids, hot_src=hot_src, hot_dst=hot_dst,
         )
 
     # ------------------------------------------------------------------
@@ -185,21 +224,43 @@ class CsrPartition:
             [sh[need] for sh, need in zip(shards, self.needs)]
         )
 
-    def pull_all(self, cvals: np.ndarray, c0: float, damping: float) -> np.ndarray:
+    def hot_partial(self, cvals: np.ndarray) -> np.ndarray:
+        """This partition's partial contribution sum for every GLOBAL hot
+        vertex (its src%P shard of their in-edges).  Owners combine the P
+        partials — the partial/combine structure that keeps a celebrity
+        vertex's in-edge sum spread across the cluster."""
+        return np.bincount(
+            self.hot_slot, weights=cvals[self.hot_src_pos], minlength=self.n_hot
+        )
+
+    def pull_all(
+        self, cvals: np.ndarray, c0: float, damping: float,
+        hot_sums: np.ndarray | None = None,
+    ) -> np.ndarray:
         """a[v] = C0 + P * sum in-contributions, for every owned vertex
-        (`src/pagerank.hxx:203-213` full sweep)."""
+        (`src/pagerank.hxx:203-213` full sweep).  ``hot_sums``: combined hot
+        partials (global hot list order); owned hot vertices have no cold
+        in-edges, so their rank comes entirely from the combined sums."""
         sums = np.bincount(
             self.in_dst_local, weights=cvals[self.in_src_pos], minlength=self.n_owned
         )
+        if hot_sums is not None and len(self.own_hot_slots):
+            sums[self.own_hot_slots] = hot_sums[self.own_hot_idx]
         return c0 + damping * sums
 
     def pull_selected(
-        self, cvals: np.ndarray, sel: np.ndarray, c0: float, damping: float
+        self, cvals: np.ndarray, sel: np.ndarray, c0: float, damping: float,
+        hot_sums: np.ndarray | None = None,
     ) -> np.ndarray:
         """Ranks for the selected owned slots only (frontier sweep:
         `src/pagerankBasic.hxx:189-201` — only affected vertices touched)."""
         pos, seg = range_gather(self.in_indptr, sel)
         sums = np.bincount(seg, weights=cvals[self.in_src_pos[pos]], minlength=len(sel))
+        if hot_sums is not None and len(self.own_hot_slots):
+            hi = self.hot_idx_of_slot[sel]
+            m = hi >= 0
+            if m.any():
+                sums[m] = hot_sums[hi[m]]
         return c0 + damping * sums
 
     def out_neighbors(self, sel: np.ndarray) -> np.ndarray:

@@ -48,7 +48,19 @@ class RankBoard:
         self.converged = np.zeros(num_partitions, dtype=bool)
         self.iterations = np.zeros(num_partitions, dtype=np.int64)
         self.inbox: list[list] = [[] for _ in range(num_partitions)]
+        self.hot_partials: dict[int, np.ndarray] = {}
         self.stopped = False
+
+    def hot_exchange(self, pid: int, partial: np.ndarray) -> np.ndarray:
+        """Barrier-free hot-vertex combine: publish this partition's freshest
+        hot partial-sum vector, get back the sum over every partition's
+        freshest (stale partials tolerated — same fixed-point argument as
+        stale shards).  Payloads are n_hot-sized, tiny by construction."""
+        self.hot_partials[pid] = partial
+        out = np.zeros_like(partial)
+        for arr in self.hot_partials.values():
+            out += arr
+        return out
 
     def sync(self, pid: int, shard_ref_box: list, converged: bool, iteration: int, marks):
         """Atomically publish this partition's state and fetch the freshest
@@ -143,23 +155,24 @@ class CsrPartitionActor:
         return self.vaff
 
     # -------------------------------------------------- superstep protocol
-    def _sweep(self, cvals, c0, damping, tol, frontier_d):
+    def _sweep(self, cvals, c0, damping, tol, frontier_d, hot_sums=None):
         """One local sweep.  Returns (linf, marks, n_active) and updates
-        self.r / self.conv in place."""
+        self.r / self.conv in place.  ``hot_sums``: combined partial sums for
+        the global hot-vertex list (skew split), or None."""
         csr = self.csr
         if self.frontier_mode:
             sel = np.flatnonzero(self.vaff)
             if len(sel) == 0:
                 self.conv[:] = True
                 return 0.0, {}, 0
-            a = csr.pull_selected(cvals, sel, c0, damping)
+            a = csr.pull_selected(cvals, sel, c0, damping, hot_sums)
             delta = np.abs(a - self.r[sel])
             self.r[sel] = a
             self.conv[sel] = delta <= tol
             hot = sel[delta > frontier_d] if frontier_d is not None else sel[:0]
         else:
             sel = None
-            a = csr.pull_all(cvals, c0, damping)
+            a = csr.pull_all(cvals, c0, damping, hot_sums)
             delta = np.abs(a - self.r)
             self.r = a
             self.conv = delta <= tol
@@ -185,13 +198,25 @@ class CsrPartitionActor:
         n_active = int(len(sel)) if sel is not None else csr.n_owned
         return linf, marks, n_active
 
-    def step(self, shard_refs, c0, damping, tol, frontier_d):
+    def hot_partial_step(self, shard_refs) -> np.ndarray:
+        """Phase A of a hot-split superstep: gather this iteration's
+        contributions (cached for the phase-B ``step``) and return this
+        partition's hot partial-sum vector for the driver to combine."""
+        shards = ray.get([shard_refs[p] for p in self.csr.needed_parts])
+        self._cvals = self.csr.gather(shards)
+        return self.csr.hot_partial(self._cvals)
+
+    def step(self, shard_refs, c0, damping, tol, frontier_d, hot_sums=None):
         """One with-barrier superstep.  ``shard_refs``: refs of every
         partition's previous-iteration contribution shard; fetches only the
-        partitions in the gather plan.  Returns (new_shard, stats)."""
-        shards = ray.get([shard_refs[p] for p in self.csr.needed_parts])
-        cvals = self.csr.gather(shards)
-        linf, marks, n_active = self._sweep(cvals, c0, damping, tol, frontier_d)
+        partitions in the gather plan (``None`` -> reuse the contributions
+        cached by ``hot_partial_step``).  Returns (new_shard, stats)."""
+        if shard_refs is None:
+            cvals = self._cvals
+        else:
+            shards = ray.get([shard_refs[p] for p in self.csr.needed_parts])
+            cvals = self.csr.gather(shards)
+        linf, marks, n_active = self._sweep(cvals, c0, damping, tol, frontier_d, hot_sums)
         stats = {
             "pid": self.pid,
             "linf": linf,
@@ -248,7 +273,14 @@ class CsrPartitionActor:
             else:
                 shards = ray.get(refs)
             cvals = csr.gather(shards)
-            linf, marks, _ = self._sweep(cvals, c0, damping, tol, frontier_d)
+            hot_sums = None
+            if csr.n_hot:
+                # publish own freshest partial, receive the combined sums
+                # (stale peers tolerated — barrier-free semantics)
+                hot_sums = ray.get(
+                    board.hot_exchange.remote(self.pid, csr.hot_partial(cvals))
+                )
+            linf, marks, _ = self._sweep(cvals, c0, damping, tol, frontier_d, hot_sums)
             it += 1
             if self.frontier_mode:
                 # unaffected vertices are pre-marked converged

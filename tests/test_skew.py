@@ -1,0 +1,143 @@
+"""Hot-vertex (high in-degree) splitting — the skew path.
+
+A Zipf-ish graph with celebrity destinations is built twice: without
+splitting and with a low hot threshold.  Ranks must agree with the numpy
+oracle (and with each other) in every mode; the hot layout must actually
+split (n_hot > 0, edges_in_hot present, celebrity in-edges spread by src%P)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build as gb
+from pagerank_barrierfree_openmp_dynamic_ray.functions.oracle import pagerank_power
+from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+    Frontier,
+    PageRankEngine,
+)
+from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
+    apply_batch_to_layout,
+    generate_batch,
+    layout_edge_arrays,
+)
+
+N = 300
+HOT_THRESHOLD = 40
+
+
+def _skewed_edges(rng):
+    """~2000 edges; vertices 0 and 1 receive ~45% of them (celebrities)."""
+    src = rng.integers(0, N, 2000)
+    dst = rng.integers(0, N, 2000)
+    celebrity = rng.random(2000) < 0.45
+    dst[celebrity] = rng.integers(0, 2, celebrity.sum())
+    return src, dst
+
+
+def _build(tmp_path, src, dst, threshold, P=4):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src.astype(np.uint64)),
+                "dst": pa.array(dst.astype(np.uint64)),
+            }
+        )
+    )
+    return gb.build_graph(
+        ds, str(tmp_path), num_partitions=P, n_vertices=N,
+        hot_in_threshold=threshold,
+    )
+
+
+@pytest.fixture(scope="module")
+def layouts(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(11)
+    src, dst = _skewed_edges(rng)
+    root = tmp_path_factory.mktemp("skew")
+    cold = _build(root / "cold", src, dst, None)
+    hot = _build(root / "hot", src, dst, HOT_THRESHOLD)
+    return cold, hot
+
+
+def test_hot_layout_actually_splits(layouts):
+    cold, hot = layouts
+    assert cold.n_hot == 0 and hot.n_hot >= 2
+    assert os.path.isdir(hot.edges_in_hot)
+    hv = hot.hot_vids()
+    assert 0 in hv and 1 in hv
+    # the celebrity in-edges are spread across ALL src%P partitions
+    import pyarrow.parquet as pq
+
+    parts = sorted(os.listdir(hot.edges_in_hot))
+    assert len(parts) == hot.num_partitions
+    # and none of them remain in the cold dst-partitioned layout
+    t = pq.read_table(hot.edges_in, columns=["dst"])
+    assert not np.isin(t["dst"].to_numpy().astype(np.int64), hv).any()
+    # edge multiset is preserved
+    cs, cd = layout_edge_arrays(cold)
+    hs, hd = layout_edge_arrays(hot)
+    key = lambda s, d: np.sort(s.astype(np.int64) * N + d)
+    assert np.array_equal(key(cs, cd), key(hs, hd))
+
+
+def test_hot_static_barrier_matches_oracle(layouts):
+    cold, hot = layouts
+    s, d = layout_edge_arrays(hot)
+    want, _ = pagerank_power(s, d, N, tol=1e-12)
+    eng = PageRankEngine(hot, num_cpus_per_actor=0.25)
+    try:
+        res = eng.run(mode="barrier", tol=1e-10)
+        assert np.allclose(res.ranks, want, atol=1e-6)
+        # and identical to the unsplit engine's fixed point
+        eng_c = PageRankEngine(cold, num_cpus_per_actor=0.25)
+        try:
+            res_c = eng_c.run(mode="barrier", tol=1e-10)
+        finally:
+            eng_c.shutdown()
+        assert np.allclose(res.ranks, res_c.ranks, atol=1e-9)
+    finally:
+        eng.shutdown()
+
+
+def test_hot_barrierfree_same_fixed_point(layouts):
+    _, hot = layouts
+    s, d = layout_edge_arrays(hot)
+    want, _ = pagerank_power(s, d, N, tol=1e-12)
+    eng = PageRankEngine(hot, num_cpus_per_actor=0.25)
+    try:
+        res = eng.run(mode="barrierfree", tol=1e-10)
+        assert np.allclose(res.ranks, want, atol=1e-6)
+    finally:
+        eng.shutdown()
+
+
+def test_hot_dynamic_frontier(layouts, tmp_path):
+    """Frontier run on an updated hot layout == full recompute (the
+    reference's dynamic-vs-s0 check, `main.cxx:207`)."""
+    _, hot = layouts
+    s0, d0 = layout_edge_arrays(hot)
+    eng = PageRankEngine(hot, num_cpus_per_actor=0.25)
+    try:
+        warm = eng.run(mode="barrier", tol=1e-10).ranks
+    finally:
+        eng.shutdown()
+
+    ds_, dd_, is_, id_ = generate_batch(s0, d0, N, batch_size=20, seed=5)
+    new = apply_batch_to_layout(hot, str(tmp_path / "upd"), ds_, dd_, is_, id_)
+    assert new.hot_in_threshold == HOT_THRESHOLD and new.n_hot >= 2
+
+    s1, d1 = layout_edge_arrays(new)
+    want, _ = pagerank_power(s1, d1, N, tol=1e-12)
+    eng2 = PageRankEngine(new, num_cpus_per_actor=0.25)
+    try:
+        res = eng2.run(
+            mode="barrier", q=warm, tol=1e-10,
+            frontier=Frontier(old_layout=hot, del_src=ds_, ins_src=is_),
+        )
+        assert np.allclose(res.ranks, want, atol=1e-6)
+    finally:
+        eng2.shutdown()
