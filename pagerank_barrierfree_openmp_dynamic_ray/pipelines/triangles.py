@@ -1,20 +1,25 @@
-"""Triangle count — Dataset-native degree-oriented wedge join (SURVEY §2.12).
+"""Triangle count — degree-oriented wedge counting (SURVEY §2.12).
 
-Shape (all Ray Data, two shuffles):
+Shape:
   1. canonicalize: drop self-loops, symmetrize to unique undirected pairs
      (lo, hi) — per-batch Arrow distinct + one groupby;
   2. degrees over the undirected pairs (per-batch bincount partials + small
      groupby);
   3. orient each pair low->high by (degree, vid) — the standard skew guard:
      every vertex's oriented out-degree is O(sqrt(m));
-  4. wedges: groupby(oriented src).map_groups emits all ordered neighbor
-     pairs (v, w);
-  5. close: tagged-union groupby on the packed pair key counts wedges that
-     coincide with an oriented edge.
+  4. hash-partition oriented edges by u % P; each partition generates its
+     wedges FULLY VECTORIZED (per-out-degree bucketing, no per-vertex Python
+     loop) and counts closures.
 
-The degree lookup in (3) is broadcast via ``ray.put`` (a dense uint array —
-the small-side-broadcast pattern); at 1e12 vertices it becomes a join on the
-degree table, same downstream shape.
+Closure test has two physical plans:
+  - broadcast (default, m <= broadcast_edge_limit): the sorted oriented-edge
+    key array ships once via ``ray.put``; each partition closes its wedges
+    with one ``searchsorted`` — no wedge ever leaves its partition.
+  - shuffle (scale path): wedge keys + edge keys go through ONE native
+    groupby aggregate (Sum of wedge flags, Max of edge flags) — no Python
+    per-group calls; used when the edge key array would not fit a worker
+    heap.
+Both plans share the wedge generator; tests pin them to equal counts.
 """
 
 from __future__ import annotations
@@ -24,26 +29,58 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Max, Sum
 
+BROADCAST_EDGE_LIMIT = 50_000_000
 
-def _undirected_pairs(edges):
+
+def _undirected_pairs(edges, num_partitions: int = 32):
+    """Distinct undirected pairs via per-batch Arrow distinct + one
+    hash(lo,hi)%P-keyed shuffle with vectorized per-partition distinct (the
+    fast dedup plan measured in stages.graph_build.dedup_edges)."""
+
     def canon(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
         d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
         m = s != d
         lo = np.minimum(s[m], d[m])
         hi = np.maximum(s[m], d[m])
-        t = pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
-        return t.group_by(["lo", "hi"]).aggregate([])
+        part = ((lo * np.uint64(1_000_003) + hi) % np.uint64(num_partitions)).astype(np.int32)
+        t = pa.table({"lo": pa.array(lo), "hi": pa.array(hi), "part": pa.array(part)})
+        return t.group_by(["lo", "hi", "part"]).aggregate([])
 
-    pre = edges.map_batches(canon, batch_format="pyarrow")
+    def dedup_part(group: pa.Table) -> pa.Table:
+        return group.select(["lo", "hi"]).group_by(["lo", "hi"]).aggregate([])
+
     return (
-        pre.groupby(["lo", "hi"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["lo", "hi"])
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
     )
 
 
-def triangle_count(edges, n_vertices: int) -> int:
+def _wedge_pairs(u: np.ndarray, v: np.ndarray, okey_v: np.ndarray,
+                 n: np.uint64):
+    """All wedge keys a*n+b for ordered neighbor pairs (a before b in
+    orientation order) per center u.  Vectorized by out-degree bucket: one
+    ``triu_indices`` + one fancy-index per distinct degree — no per-vertex
+    Python loop.  Yields uint64 key arrays."""
+    order = np.lexsort((okey_v, u))
+    u = u[order]
+    v = v[order]
+    # segment boundaries per center
+    change = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+    seg_len = np.diff(np.append(change, len(u)))
+    for k in np.unique(seg_len):
+        if k < 2:
+            continue
+        starts = change[seg_len == k]
+        i, j = np.triu_indices(int(k), 1)
+        a = v[starts[:, None] + i[None, :]]
+        b = v[starts[:, None] + j[None, :]]
+        yield a.ravel().astype(np.uint64) * n + b.ravel().astype(np.uint64)
+
+
+def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
+                   broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT) -> int:
     """Exact global triangle count of the simple undirected view."""
     und = _undirected_pairs(edges).materialize()
 
@@ -70,59 +107,105 @@ def triangle_count(edges, n_vertices: int) -> int:
     deg[degt["vid"].to_numpy()] = degt["deg"].to_numpy()
     deg_ref = ray.put(deg)
     n = np.uint64(n_vertices)
+    P = num_partitions
 
-    def orient_and_key(batch: pa.Table) -> pa.Table:
+    def orient(batch: pa.Table) -> pa.Table:
         dg = ray.get(deg_ref)
         a = batch["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
         ka = dg[a] * np.int64(n_vertices + 1) + a
         kb = dg[b] * np.int64(n_vertices + 1) + b
-        u = np.where(ka < kb, a, b).astype(np.uint64)  # oriented src (small end)
-        v = np.where(ka < kb, b, a).astype(np.uint64)
-        return pa.table({"u": pa.array(u), "v": pa.array(v)})
-
-    oriented = und.map_batches(orient_and_key, batch_format="pyarrow").materialize()
-
-    # wedges per oriented source
-    def wedges(group: pa.Table) -> pa.Table:
-        dg = ray.get(deg_ref)
-        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        k = len(v)
-        if k < 2:
-            return pa.table({"key": pa.array(np.empty(0, np.uint64)),
-                             "wedge": pa.array(np.empty(0, np.int64))})
-        # order neighbors by (deg, vid) so wedge pairs are emitted in the
-        # same orientation as the oriented edges they might close
-        order = np.argsort(dg[v] * np.int64(n_vertices + 1) + v, kind="stable")
-        v = v[order]
-        i, j = np.triu_indices(k, 1)
-        key = v[i].astype(np.uint64) * n + v[j].astype(np.uint64)
+        fwd = ka < kb
+        u = np.where(fwd, a, b)
+        v = np.where(fwd, b, a)
         return pa.table(
-            {"key": pa.array(key), "wedge": pa.array(np.ones(len(key), np.int64))}
+            {
+                "u": pa.array(u.astype(np.uint64)),
+                "v": pa.array(v.astype(np.uint64)),
+                "part": pa.array((u % P).astype(np.int32)),
+            }
         )
 
-    wedge_ds = oriented.groupby("u").map_groups(wedges, batch_format="pyarrow")
+    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    n_edges = oriented.count()
 
-    def edge_keys(batch: pa.Table) -> pa.Table:
+    if n_edges <= broadcast_edge_limit:
+        # ---- broadcast closure: no wedge leaves its partition ----
+        ekeys = (
+            oriented.map_batches(
+                lambda t: pa.table(
+                    {
+                        "key": pa.array(
+                            t["u"].to_numpy(zero_copy_only=False).astype(np.uint64) * n
+                            + t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["key"]
+            .to_numpy()
+        )
+        ekeys = np.sort(ekeys)
+        ekey_ref = ray.put(ekeys)
+
+        def count_part(group: pa.Table) -> pa.Table:
+            ek = ray.get(ekey_ref)
+            dg = ray.get(deg_ref)
+            u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            okey = dg[v] * np.int64(n_vertices + 1) + v
+            tri = 0
+            for keys in _wedge_pairs(u, v, okey, n):
+                pos = np.searchsorted(ek, keys)
+                pos[pos == len(ek)] = 0
+                tri += int((ek[pos] == keys).sum())
+            return pa.table({"tri": pa.array([tri], pa.int64())})
+
+        closed = oriented.groupby("part").map_groups(
+            count_part, batch_format="pyarrow"
+        )
+        return int(closed.sum("tri") or 0)
+
+    # ---- shuffle closure (scale path): one native aggregate ----
+    def wedge_rows(group: pa.Table) -> pa.Table:
+        dg = ray.get(deg_ref)
+        u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = dg[v] * np.int64(n_vertices + 1) + v
+        keys = [k for k in _wedge_pairs(u, v, okey, n)]
+        key = np.concatenate(keys) if keys else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "w": pa.array(np.ones(len(key), np.int64)),
+                "e": pa.array(np.zeros(len(key), np.int64)),
+            }
+        )
+
+    wedge_ds = oriented.groupby("part").map_groups(wedge_rows, batch_format="pyarrow")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.table(
             {
                 "key": pa.array(u * n + v),
-                "wedge": pa.array(np.zeros(len(u), np.int64)),
+                "w": pa.array(np.zeros(len(u), np.int64)),
+                "e": pa.array(np.ones(len(u), np.int64)),
             }
         )
 
-    edge_key_ds = oriented.map_batches(edge_keys, batch_format="pyarrow")
-
-    # close wedges: a pair key contributes (its wedge count) iff an oriented
-    # edge row (wedge=0) is present in the same group
-    def close(group: pa.Table) -> pa.Table:
-        w = group["wedge"].to_numpy(zero_copy_only=False)
-        has_edge = (w == 0).any()
-        return pa.table({"tri": pa.array([int(w.sum()) if has_edge else 0])})
-
-    closed = wedge_ds.union(edge_key_ds).groupby("key").map_groups(
-        close, batch_format="pyarrow"
+    edge_ds = oriented.map_batches(edge_rows, batch_format="pyarrow")
+    agg = (
+        wedge_ds.union(edge_ds)
+        .groupby("key")
+        .aggregate(Sum("w", alias_name="nw"), Max("e", alias_name="he"))
     )
-    return int(closed.sum("tri") or 0)
+
+    def closed_only(batch: pa.Table) -> pa.Table:
+        nw = batch["nw"].to_numpy(zero_copy_only=False)
+        he = batch["he"].to_numpy(zero_copy_only=False)
+        return pa.table({"tri": pa.array([int(nw[he > 0].sum())], pa.int64())})
+
+    return int(agg.map_batches(closed_only, batch_format="pyarrow").sum("tri") or 0)

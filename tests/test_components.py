@@ -94,3 +94,16 @@ def test_triangles_random(ray_session):
     want = oracle.triangle_count(src, dst, n)
     assert got == want
     assert want > 0
+
+
+def test_triangles_shuffle_plan_matches_broadcast(ray_session):
+    """broadcast_edge_limit=0 forces the scale-path aggregate closure; both
+    physical plans must count identically (incl. a skewed hub vertex)."""
+    rng = np.random.default_rng(9)
+    n = 100
+    src = np.concatenate([rng.integers(0, n, 600), np.zeros(50, np.int64)])
+    dst = np.concatenate([rng.integers(0, n, 600), rng.integers(0, n, 50)])
+    ds = _ds(src, dst)
+    want = oracle.triangle_count(src, dst, n)
+    assert triangle_count(ds, n) == want
+    assert triangle_count(ds, n, broadcast_edge_limit=0) == want
