@@ -191,6 +191,7 @@ class PageRankEngine:
         shard_refs = [a.shard.remote() for a in self.actors]
         hot_on = self.layout.n_hot > 0
         iters, residual = 0, float("inf")
+        fd = frontier_d
         while iters < max_iter:
             hot_sums = None
             if hot_on:
@@ -203,7 +204,7 @@ class PageRankEngine:
                 hot_sums = np.sum(parts, axis=0)
             futs = [
                 a.step.options(num_returns=2).remote(
-                    None if hot_on else shard_refs, c0, damping, tol, frontier_d,
+                    None if hot_on else shard_refs, c0, damping, tol, fd,
                     hot_sums,
                 )
                 for a in self.actors
@@ -212,6 +213,13 @@ class PageRankEngine:
             stats = ray.get([f[1] for f in futs])
             iters += 1
             residual = max(s["linf"] for s in stats)
+            # frontier saturation: once every vertex everywhere is affected,
+            # expansion can mark nothing new (vaff is monotone) — stop paying
+            # for out-neighbor scans; sweep coverage is unchanged
+            if fd is not None and all(
+                s["n_active"] == s["n_owned"] for s in stats
+            ):
+                fd = None
             # route cross-partition frontier marks before the next superstep
             # (actor task order per caller guarantees they apply first)
             combined: dict[int, list] = {}

@@ -154,3 +154,27 @@ def test_crash_recovery_rebuild_actor(dyn, oracle_new, tmp_path):
     res = eng.run(mode="barrier", resume_from=latest)
     np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
     eng.shutdown()
+
+
+def test_barrierfree_sleep_faults(new_engine, oracle_new):
+    """Slow partitions must not block the others (the reference's uniform
+    sleep model, `main.cxx:137-153`): barrier-free converges to the same
+    fixed point with one partition randomly sleeping."""
+    res = new_engine.run(
+        mode="barrierfree",
+        fault={"sleep_prob": 0.5, "sleep_s": 0.02, "pids": {0}},
+    )
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+
+
+def test_barrierfree_crash_stop_bounded(new_engine, oracle_new):
+    """Crash-stop of a partition (`main.cxx:156-169`): the run terminates
+    (no hang — max_iter bounds the survivors), the crash is reported, and a
+    warm-started recovery run reaches the fixed point."""
+    res = new_engine.run(
+        mode="barrierfree", max_iter=40,
+        fault={"crash_at": 2, "pids": {1}},
+    )
+    assert res.iterations <= 40
+    rec = new_engine.run(mode="barrier", q=res.ranks)
+    np.testing.assert_allclose(rec.ranks, oracle_new, atol=1e-6)
