@@ -42,6 +42,40 @@ def read_lineage(ckpt_dir: str) -> dict:
         return json.load(f)
 
 
+def ranks_dataset(ckpt_dir: str):
+    """The checkpointed ranks as a Ray Dataset (vid, rank, affected) —
+    downstream pipelines consume ranks without the driver ever holding the
+    dense vector."""
+    import glob
+
+    import ray.data as rd
+
+    return rd.read_parquet(sorted(glob.glob(os.path.join(ckpt_dir, "part-*.parquet"))))
+
+
+def rank_topk(ckpt_dir: str, k: int = 20):
+    """Dataset-native global top-k by rank (SURVEY §2.6 top-k row):
+    per-batch partial top-k (combiner) then one small sort+limit — the
+    shuffle carries at most k rows per block, never the full rank table."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        kk = min(k, len(r))
+        if kk == 0:
+            return batch.select(["vid", "rank"])
+        idx = np.argpartition(-r, kk - 1)[:kk]
+        return batch.select(["vid", "rank"]).take(idx)
+
+    return (
+        ranks_dataset(ckpt_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .sort(["rank", "vid"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def latest_checkpoint(root: str) -> str | None:
     """Newest complete checkpoint directory under ``root`` (one subdir per
     checkpointed iteration, named ``iter-N``; complete == has lineage.json)."""

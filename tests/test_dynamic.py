@@ -178,3 +178,16 @@ def test_barrierfree_crash_stop_bounded(new_engine, oracle_new):
     assert res.iterations <= 40
     rec = new_engine.run(mode="barrier", q=res.ranks)
     np.testing.assert_allclose(rec.ranks, oracle_new, atol=1e-6)
+
+
+def test_rank_topk_dataset_native(new_engine, oracle_new, tmp_path):
+    """Dataset-native top-k over a checkpoint equals the numpy top-k."""
+    from pagerank_barrierfree_openmp_dynamic_ray.state.checkpoint import rank_topk
+
+    ck = str(tmp_path / "ck3")
+    res = new_engine.run(mode="barrier", checkpoint_dir=ck, checkpoint_every=0)
+    d = latest_checkpoint(ck)
+    top = rank_topk(d, k=10).to_pandas()
+    want_idx = np.lexsort((np.arange(len(res.ranks)), -res.ranks))[:10]
+    assert top["vid"].tolist() == want_idx.tolist()
+    np.testing.assert_allclose(top["rank"].to_numpy(), res.ranks[want_idx])
