@@ -179,37 +179,118 @@ def run_bench() -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# scaling protocol (the sandbox analogue of the reference's strong-scaling
+# sweep, mains.sh:20-30 / cluster N vs 4N nodes).
+#
+# Methodology notes (measured on this sandbox, recorded in BASELINE.md):
+# - ray.init(num_cpus=k) is ADMISSION CONTROL only: with fractional-cpu
+#   actors every actor process still runs unconstrained on the host, so the
+#   two "cluster sizes" must be emulated with an OS-level core budget
+#   (taskset).  Each run is a fresh process pinned to its core set with a
+#   matching ray.init(num_cpus=...).
+# - this VM's own CPU scaling window: pure-CPU multiprocess throughput
+#   scales 0.92-0.94 efficiency up to 8 procs, then throttles (0.61 at
+#   8->32) — so the honest N -> 4N pair is 2 -> 8 cores.
+# - the PageRank sweep is memory-bandwidth-bound at large |E| (the reference
+#   itself flattens past 32 threads, README.md:149-152); the scaling input
+#   is sized so per-iteration compute dominates the per-superstep RPC
+#   overhead: n=1M vertices, ~51M deduped edges, P=8 partitions, fixed 15
+#   iterations at tol=0 (same input, same job, both cluster sizes).
+# ---------------------------------------------------------------------------
+
+SCALE_N = int(os.environ.get("GRAFT_SCALE_N", 1_000_000))
+SCALE_M = int(os.environ.get("GRAFT_SCALE_M", 50_000_000))
+SCALE_P = 8
+SCALE_ITERS = 15
+SCALE_DIR = f"/tmp/graft_scale_n{SCALE_N}_m{SCALE_M}_p{SCALE_P}"
+
+
+def _ensure_scale_layout() -> None:
+    """Build the deterministic scaling input once (cached across rounds);
+    also warms the per-partition CSR cache so timed runs load instantly."""
+    import subprocess
+    import textwrap
+
+    if os.path.isfile(os.path.join(SCALE_DIR, "lineage.json")) and \
+       os.path.isdir(os.path.join(SCALE_DIR, "csr_cache")):
+        return
+    prep = textwrap.dedent(f"""
+    import sys, numpy as np, pyarrow as pa, ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+    import ray.data as rd
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import build_graph
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import PageRankEngine
+    n, m, seed, CH = {SCALE_N}, {SCALE_M}, 43, 2_000_000
+    tabs = []
+    for i in range(m // CH):
+        r = np.random.default_rng([seed, i])
+        tabs.append(pa.table({{"src": pa.array(r.integers(0, n, CH).astype(np.uint64)),
+                              "dst": pa.array(r.integers(0, n, CH).astype(np.uint64))}}))
+    lay = build_graph(rd.from_arrow(tabs), {SCALE_DIR!r}, {SCALE_P}, n_vertices=n)
+    eng = PageRankEngine(lay, num_cpus_per_actor=1)   # warm the CSR cache
+    eng.shutdown()
+    ray.shutdown()
+    """)
+    subprocess.run([sys.executable, "-c", prep], check=True, capture_output=True)
+
+
 def run_scaling() -> dict:
     import subprocess
+    import textwrap
 
-    def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    _ensure_scale_layout()
+    run = textwrap.dedent(f"""
+    import sys, time, ray
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR")
+    sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import GraphLayout
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import PageRankEngine
+    lay = GraphLayout.load({SCALE_DIR!r})
+    eng = PageRankEngine(lay, num_cpus_per_actor=NCPU / ({SCALE_P} + 1))
+    eng.run(mode="barrier", max_iter=2)  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        eng.run(mode="barrier", tol=1e-30, max_iter={SCALE_ITERS})
+        best = min(best, time.perf_counter() - t0)
+    print("RESULT", NCPU, best, lay.n_edges)
+    eng.shutdown(); ray.shutdown()
+    """)
+
+    def one(ncpu: int, cores: str) -> tuple[float, int]:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            ["taskset", "-c", cores, sys.executable, "-c",
+             run.replace("NCPU", str(ncpu))],
+            capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][-1]
+        _, _, best, n_edges = line.split()
+        return float(best), int(n_edges)
 
-    lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
-    # scaling on the compute-bound core (the PageRank family), as the
-    # reference's sweep scales the solver, not the disk read
-    keys = ["pr_static", "pr_barrierfree", "pr_naive", "pr_frontier", "cc"]
-    t_lo = sum(r_lo["queries"][k] for k in keys)
-    t_hi = sum(r_hi["queries"][k] for k in keys)
+    lo, hi = 2, 8
+    t_lo, n_edges = one(lo, "0-1")
+    t_hi, _ = one(hi, "0-7")
+    eps = lambda t: n_edges * SCALE_ITERS / t
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "cpus": [lo, hi],
-        "core_sec": {str(lo): round(t_lo, 3), str(hi): round(t_hi, 3)},
-        "total_sec": {str(lo): r_lo["value"], str(hi): r_hi["value"]},
-        "edges_per_s": {
-            str(lo): r_lo["detail"]["pr_static_edges_per_s"],
-            str(hi): r_hi["detail"]["pr_static_edges_per_s"],
+        "cores": [lo, hi],
+        "wall_s": {str(lo): round(t_lo, 2), str(hi): round(t_hi, 2)},
+        "edges_per_s": {str(lo): round(eps(t_lo), 0), str(hi): round(eps(t_hi), 0)},
+        "workload": {
+            "n_vertices": SCALE_N, "n_edges": n_edges,
+            "partitions": SCALE_P, "iterations": SCALE_ITERS,
+            "mode": "barrier", "repeat_best_of": 3,
         },
-        "sf": SF,
+        "method": "same layout + job in fresh taskset-pinned processes "
+                  "(ray num_cpus alone does not constrain fractional-cpu "
+                  "actors); 2->8 cores is this VM's honest 4x window "
+                  "(raw multiprocess CPU eff: 0.92 at 2->8, 0.61 at 8->32)",
     }
 
 

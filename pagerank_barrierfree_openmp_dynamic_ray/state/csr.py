@@ -163,8 +163,12 @@ class CsrPartition:
             n_vertices=n_vertices,
             n_owned=n_owned,
             in_indptr=in_indptr,
-            in_dst_local=dl,
-            in_src_pos=src_pos,
+            # int32 per-edge arrays: per-partition edge counts and owned-slot
+            # ids are < 2^31 by construction (they must fit one worker's
+            # heap); halves the bytes streamed per sweep — the kernel is
+            # memory-bandwidth-bound
+            in_dst_local=dl.astype(np.int32),
+            in_src_pos=src_pos.astype(np.int32),
             needed_parts=needed_parts.astype(np.int64),
             needs=needs,
             outdeg=outdeg,
@@ -178,16 +182,78 @@ class CsrPartition:
             hot_idx_of_slot=hot_idx_of_slot,
         )
 
+    _CACHE_VERSION = 1
+
+    def _save_cache(self, layout_path: str, n_edges_expected: int) -> None:
+        d = os.path.join(layout_path, "csr_cache")
+        os.makedirs(d, exist_ok=True)
+        f = os.path.join(d, f"part-{self.pid}.npz")
+        tmp = os.path.join(d, f"part-{self.pid}.tmp{os.getpid()}.npz")
+        np.savez(
+            tmp,
+            version=np.int64(self._CACHE_VERSION),
+            n_edges_expected=np.int64(n_edges_expected),
+            in_indptr=self.in_indptr,
+            in_dst_local=self.in_dst_local,
+            in_src_pos=self.in_src_pos,
+            needed_parts=self.needed_parts,
+            needs_flat=np.concatenate(self.needs) if self.needs else np.empty(0, np.int64),
+            needs_lens=np.array([len(x) for x in self.needs], np.int64),
+            outdeg=self.outdeg,
+            out_indptr=self.out_indptr,
+            out_dst=self.out_dst,
+            hot_slot=self.hot_slot,
+            hot_src_pos=self.hot_src_pos,
+            own_hot_slots=self.own_hot_slots,
+            own_hot_idx=self.own_hot_idx,
+            hot_idx_of_slot=self.hot_idx_of_slot,
+        )
+        os.replace(tmp, f)
+
+    @classmethod
+    def _load_cache(cls, layout_path: str, pid: int, P: int, n: int,
+                    n_hot: int, n_edges_expected: int) -> "CsrPartition | None":
+        f = os.path.join(layout_path, "csr_cache", f"part-{pid}.npz")
+        if not os.path.isfile(f):
+            return None
+        try:
+            z = np.load(f)
+            if int(z["version"]) != cls._CACHE_VERSION or \
+               int(z["n_edges_expected"]) != n_edges_expected:
+                return None
+            bounds = np.cumsum(z["needs_lens"])[:-1]
+            needs = np.split(z["needs_flat"], bounds) if len(z["needs_lens"]) else []
+            return cls(
+                pid=pid, num_partitions=P, n_vertices=n,
+                n_owned=cls.owned_count(n, pid, P),
+                in_indptr=z["in_indptr"], in_dst_local=z["in_dst_local"],
+                in_src_pos=z["in_src_pos"], needed_parts=z["needed_parts"],
+                needs=needs, outdeg=z["outdeg"], out_indptr=z["out_indptr"],
+                out_dst=z["out_dst"], n_hot=n_hot, hot_slot=z["hot_slot"],
+                hot_src_pos=z["hot_src_pos"], own_hot_slots=z["own_hot_slots"],
+                own_hot_idx=z["own_hot_idx"], hot_idx_of_slot=z["hot_idx_of_slot"],
+            )
+        except Exception:
+            return None
+
     @classmethod
     def from_layout(cls, layout_path: str, pid: int) -> "CsrPartition":
         """Build from the persistent layout written by stages.graph_build
-        (reads ONLY this partition's part= directories)."""
+        (reads ONLY this partition's part= directories).  The built CSR is
+        cached as one npz per partition inside the layout dir — subsequent
+        engine startups skip the parquet read + lexsort (the expensive part
+        of pinning state) and load arrays directly."""
         import json
 
         with open(os.path.join(layout_path, "lineage.json")) as f:
             meta = json.load(f)
         P = meta["num_partitions"]
         n = meta["n_vertices"]
+        cached = cls._load_cache(
+            layout_path, pid, P, n, meta.get("n_hot", 0), meta["n_edges"]
+        )
+        if cached is not None:
+            return cached
 
         def read(sub: str, cols: list[str]) -> dict[str, np.ndarray]:
             d = os.path.join(layout_path, sub, f"part={pid}")
@@ -204,12 +270,17 @@ class CsrPartition:
             hot_vids = np.load(os.path.join(layout_path, "hot.npy"))
             ehot = read("edges_in_hot", ["src", "dst"])
             hot_src, hot_dst = ehot["src"], ehot["dst"]
-        return cls.build(
+        csr = cls.build(
             pid, P, n,
             ein["src"], ein["dst"], eout["src"], eout["dst"],
             degs["vid"], degs["deg"],
             hot_vids=hot_vids, hot_src=hot_src, hot_dst=hot_dst,
         )
+        try:
+            csr._save_cache(layout_path, meta["n_edges"])
+        except OSError:
+            pass  # read-only layout dir: cache is best-effort
+        return csr
 
     # ------------------------------------------------------------------
     # kernels
