@@ -134,6 +134,7 @@ class PageRankEngine:
         checkpoint_every: int = 0,
         fault=None,
         resume_from: str | None = None,
+        norm: str = "linf",
     ) -> PageRankResult:
         variant = (
             "frontier" if frontier is not None else ("naive" if q is not None else "static")
@@ -157,9 +158,13 @@ class PageRankEngine:
         if mode == "barrier":
             iters, residual = self._run_superstep(
                 c0, damping, tol, max_iter, frontier_d,
-                checkpoint_dir, checkpoint_every, variant,
+                checkpoint_dir, checkpoint_every, variant, norm,
             )
         elif mode == "barrierfree":
+            if norm != "linf":
+                # the reference's barrier-free path supports only L-inf
+                # (per-vertex converged flags, `src/pagerankBarrierfree.hxx:215`)
+                raise ValueError("barrier-free mode supports only norm='linf'")
             iters, residual = self._run_barrierfree(
                 c0, damping, tol, max_iter, frontier_d, fault
             )
@@ -184,10 +189,12 @@ class PageRankEngine:
     # ------------------------------------------------------------------
     def _run_superstep(
         self, c0, damping, tol, max_iter, frontier_d,
-        checkpoint_dir, checkpoint_every, variant,
+        checkpoint_dir, checkpoint_every, variant, norm="linf",
     ):
         """With-barrier loop (`src/pagerankBasic.hxx:53-68`): double-buffered
-        shards, one global residual reduce per iteration."""
+        shards, one global residual reduce per iteration.  ``norm``: the
+        residual reduction — "linf" (max, the default, `src/_vector.hxx:410`),
+        "l1" (sum abs, `:264`), or "l2" (sqrt sum sq, `:337`)."""
         shard_refs = [a.shard.remote() for a in self.actors]
         hot_on = self.layout.n_hot > 0
         iters, residual = 0, float("inf")
@@ -212,7 +219,12 @@ class PageRankEngine:
             shard_refs = [f[0] for f in futs]
             stats = ray.get([f[1] for f in futs])
             iters += 1
-            residual = max(s["linf"] for s in stats)
+            if norm == "l1":
+                residual = sum(s["l1"] for s in stats)
+            elif norm == "l2":
+                residual = sum(s["l2sq"] for s in stats) ** 0.5
+            else:
+                residual = max(s["linf"] for s in stats)
             # frontier saturation: once every vertex everywhere is affected,
             # expansion can mark nothing new (vaff is monotone) — stop paying
             # for out-neighbor scans; sweep coverage is unchanged

@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Max, Sum
 
 BROADCAST_EDGE_LIMIT = 50_000_000
 

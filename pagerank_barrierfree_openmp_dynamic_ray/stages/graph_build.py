@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from ..functions.indexing import sorted_zip_with_index
 

@@ -164,6 +164,7 @@ class CsrPartitionActor:
             sel = np.flatnonzero(self.vaff)
             if len(sel) == 0:
                 self.conv[:] = True
+                self._norms = (0.0, 0.0, 0.0)
                 return 0.0, {}, 0
             a = csr.pull_selected(cvals, sel, c0, damping, hot_sums)
             delta = np.abs(a - self.r[sel])
@@ -178,6 +179,9 @@ class CsrPartitionActor:
             self.conv = delta <= tol
             hot = np.empty(0, dtype=np.int64)
         linf = float(delta.max()) if len(delta) else 0.0
+        # all three norm partials are one pass over delta — the driver picks
+        # (l1Norm/l2Norm/liNorm, `src/_vector.hxx:264-459`)
+        self._norms = (float(delta.sum()), float((delta * delta).sum()), linf)
 
         marks: dict[int, np.ndarray] = {}
         if len(hot):
@@ -220,6 +224,8 @@ class CsrPartitionActor:
         stats = {
             "pid": self.pid,
             "linf": linf,
+            "l1": self._norms[0],
+            "l2sq": self._norms[1],
             "marks": marks,
             "n_active": n_active,
             "n_owned": self.csr.n_owned,
