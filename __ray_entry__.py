@@ -452,6 +452,33 @@ def _q_mm_image_stats(sf_dir: str):
     return _i64(df.sort_values("item_id").reset_index(drop=True))
 
 
+def _q_mm_audio_stats(sf_dir: str):
+    """Audio plumbing: AUD! payloads -> actor-pool decode ->
+    (sample_rate, duration_s, rms) typed metadata."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.multimodal import (
+        decode_audio,
+        make_audio_payload,
+    )
+
+    n = 32
+    items = pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(
+                [make_audio_payload(8000 * (1 + i % 3), 4000 * (1 + i % 5), i)
+                 for i in range(n)],
+                pa.binary(),
+            ),
+        }
+    )
+    df = decode_audio(rd.from_arrow(items).repartition(4)).to_pandas()
+    df["rms"] = np.round(df["rms"], 9)
+    df["duration_s"] = np.round(df["duration_s"], 9)
+    return _i64(df.sort_values("item_id").reset_index(drop=True))
+
+
 def _q_mm_frames(sf_dir: str):
     """Video frame-sampling plumbing: VID! payloads -> every 4th frame's
     feature row (one row per sampled frame — flat_map-shaped output)."""
@@ -589,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         # multimodal plumbing (rows-only; deterministic fake codec)
         "mm_image_stats": _q_mm_image_stats,
+        "mm_audio_stats": _q_mm_audio_stats,
         "mm_frames": _q_mm_frames,
         # joins + stream-shaped + pruned-read aggregates (SQL-checked)
         "rev_by_nation": _q_rev_by_nation,

@@ -166,7 +166,8 @@ class PageRankEngine:
                 # (per-vertex converged flags, `src/pagerankBarrierfree.hxx:215`)
                 raise ValueError("barrier-free mode supports only norm='linf'")
             iters, residual = self._run_barrierfree(
-                c0, damping, tol, max_iter, frontier_d, fault
+                c0, damping, tol, max_iter, frontier_d, fault,
+                checkpoint_dir, checkpoint_every, variant,
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
@@ -246,19 +247,32 @@ class PageRankEngine:
                 break
         return iters, residual
 
-    def _run_barrierfree(self, c0, damping, tol, max_iter, frontier_d, fault):
+    def _run_barrierfree(self, c0, damping, tol, max_iter, frontier_d, fault,
+                         checkpoint_dir=None, checkpoint_every=0,
+                         variant="static"):
         """Barrier-free: every actor loops independently against the board;
-        the driver only awaits completion (no per-iteration ray.get barrier)."""
+        the driver only awaits completion (no per-iteration ray.get barrier).
+        Checkpoints are barrier-less too: each actor persists its own slice
+        every ``checkpoint_every`` LOCAL iterations into ``<dir>/async`` —
+        mixed-iteration parts are valid barrier-free state to resume from."""
+        ck = None
+        if checkpoint_dir and checkpoint_every:
+            ck = os.path.join(checkpoint_dir, "async")
+            os.makedirs(ck, exist_ok=True)
         board = RankBoard.remote(self.P)
         futs = [
             a.run_async.remote(
                 board, c0, damping, tol, frontier_d, max_iter,
                 fault if fault and p in fault.get("pids", range(self.P)) else None,
+                ck, checkpoint_every,
             )
             for p, a in enumerate(self.actors)
         ]
         infos = ray.get(futs)
         iters = max(i["iterations"] for i in infos)  # threadInfosMaxIteration
+        if ck is not None:
+            write_lineage(ck, iters, float("nan"), "barrierfree", variant,
+                          self.layout.path, self.P, self.n)
         ray.kill(board)
         return iters, float("nan")
 

@@ -118,6 +118,59 @@ class FrameSampleStage:
         )
 
 
+def make_audio_payload(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """AUD! + uint32 sample_rate + uint32 n_samples + int16 PCM samples."""
+    rng = np.random.default_rng([seed, sample_rate])
+    pcm = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
+    return b"AUD!" + struct.pack("<II", sample_rate, n_samples) + pcm.tobytes()
+
+
+class DecodeAudioStage:
+    """Actor-pool stage: audio payload -> (sample_rate, duration_s, rms).
+    Real codec (torchaudio/soundfile) import-tried in __init__; absent them
+    the deterministic AUD! header-parse fake decodes (same stub pattern as
+    DecodeImageStage)."""
+
+    def __init__(self):
+        try:  # pragma: no cover - container has no audio libs
+            import soundfile  # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def _decode_payload(self, payload: bytes) -> tuple[int, float, float]:
+        if self._real:  # pragma: no cover
+            raise NotImplementedError(
+                "real audio decode: soundfile.read and compute the same triple"
+            )
+        if payload[:4] != b"AUD!":
+            raise ValueError("not an AUD! payload")
+        sr, ns = struct.unpack("<II", payload[4:12])
+        pcm = np.frombuffer(payload[12: 12 + 2 * ns], dtype=np.int16)
+        rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if ns else 0.0
+        return sr, ns / sr if sr else 0.0, rms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        triples = [self._decode_payload(p) for p in batch["payload"].to_pylist()]
+        sr, dur, rms = zip(*triples) if triples else ((), (), ())
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "sample_rate": pa.array(np.asarray(sr, np.int32)),
+                "duration_s": pa.array(np.asarray(dur, np.float64)),
+                "rms": pa.array(np.asarray(rms, np.float64)),
+            }
+        )
+
+
+def decode_audio(items, concurrency: int = 2, batch_size: int = 32):
+    return items.map_batches(
+        DecodeAudioStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_images(items, concurrency: int = 2, batch_size: int = 64):
     return items.map_batches(
         DecodeImageStage, batch_format="pyarrow", batch_size=batch_size,

@@ -242,6 +242,8 @@ class CsrPartitionActor:
         frontier_d,
         max_iter: int,
         fault=None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
     ) -> dict:
         """Barrier-free local loop (`src/pagerankBarrierfree.hxx:213-235`).
 
@@ -288,6 +290,12 @@ class CsrPartitionActor:
                 )
             linf, marks, _ = self._sweep(cvals, c0, damping, tol, frontier_d, hot_sums)
             it += 1
+            if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
+                # barrier-less checkpoint: each partition persists its OWN
+                # slice on its OWN schedule (atomic replace) — parts in the
+                # dir may sit at different local iterations, which is valid
+                # barrier-free state to resume from
+                self.write_checkpoint(checkpoint_dir)
             if self.frontier_mode:
                 # unaffected vertices are pre-marked converged
                 # (`src/pagerankBarrierfree.hxx:98-106`)

@@ -191,3 +191,20 @@ def test_rank_topk_dataset_native(new_engine, oracle_new, tmp_path):
     want_idx = np.lexsort((np.arange(len(res.ranks)), -res.ranks))[:10]
     assert top["vid"].tolist() == want_idx.tolist()
     np.testing.assert_allclose(top["rank"].to_numpy(), res.ranks[want_idx])
+
+
+def test_barrierfree_async_checkpoint_resume(new_engine, oracle_new, tmp_path):
+    """Barrier-less checkpointing: actors persist their own slices on their
+    own schedule; a run interrupted mid-convergence resumes from the async
+    dir (mixed-iteration parts are valid barrier-free state)."""
+    ck = str(tmp_path / "ckbf")
+    new_engine.run(
+        mode="barrierfree", max_iter=4,
+        checkpoint_dir=ck, checkpoint_every=2,
+    )
+    async_dir = os.path.join(ck, "async")
+    assert os.path.isfile(os.path.join(async_dir, "lineage.json"))
+    meta = read_lineage(async_dir)
+    assert meta["mode"] == "barrierfree"
+    res = new_engine.run(mode="barrierfree", resume_from=async_dir)
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)

@@ -205,3 +205,17 @@ def test_multimodal_plumbing(ray_session):
     frames = multimodal.sample_frames(vids, stride=4).to_pandas()
     assert sorted(frames["frame"].unique().tolist()) == [0, 4, 8]
     assert len(frames) == 5 * 3
+
+
+def test_audio_plumbing(ray_session):
+    import ray.data as rd
+
+    items = rd.from_items(
+        [{"item_id": i,
+          "payload": multimodal.make_audio_payload(16000, 16000 * (i + 1), seed=i)}
+         for i in range(8)]
+    )
+    out = multimodal.decode_audio(items, concurrency=2).to_pandas().sort_values("item_id")
+    np.testing.assert_array_equal(out["sample_rate"], 16000)
+    np.testing.assert_allclose(out["duration_s"], np.arange(1, 9, dtype=float))
+    assert (out["rms"] > 0).all()
