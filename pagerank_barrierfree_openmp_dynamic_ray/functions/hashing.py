@@ -22,11 +22,37 @@ def token_hash64(tok: str) -> int:
     return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+class TokenHashCache:
+    """Memoized token -> 64-bit hash map (bounded).  Real-corpus token
+    frequencies are Zipf-distributed, so a per-actor cache removes the
+    md5-per-token cost from the hot path; state lives in the actor
+    (`MinHashStage.__init__`), never re-shipped per batch."""
+
+    def __init__(self, max_size: int = 1_000_000):
+        self._m: dict[str, int] = {}
+        self._max = max_size
+
+    def hash_tokens(self, toks: list[str]) -> np.ndarray:
+        m = self._m
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = m.get(t)
+            if h is None:
+                h = token_hash64(t)
+                if len(m) < self._max:
+                    m[t] = h
+            out[i] = h
+        return out
+
+
+_SHARED_CACHE = TokenHashCache()
+
+
+def shingle_hashes(text: str, k: int = 3, cache: TokenHashCache | None = None) -> np.ndarray:
     """Hashes of word k-shingles (the MinHash item set).  Texts shorter than
     k tokens contribute their single full-token-sequence hash."""
     toks = TOKEN_RE.findall(text)
-    th = np.array([token_hash64(t) for t in toks], dtype=np.uint64)
+    th = (cache or _SHARED_CACHE).hash_tokens(toks)
     if len(th) == 0:
         return np.array([0], dtype=np.uint64)
     if len(th) < k:
@@ -68,12 +94,12 @@ class MinHasher:
         )
 
 
-def simhash64(text: str) -> np.uint64:
+def simhash64(text: str, cache: TokenHashCache | None = None) -> np.uint64:
     """Classic 64-bit SimHash over token hashes."""
     toks = TOKEN_RE.findall(text)
     if not toks:
         return np.uint64(0)
-    th = np.array([token_hash64(t) for t in toks], dtype=np.uint64)
+    th = (cache or _SHARED_CACHE).hash_tokens(toks)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

@@ -72,16 +72,19 @@ class MinHashStage:
     per actor (`__init__`), signatures per batch (`__call__`)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
+        from ..functions.hashing import TokenHashCache
+
         self.mh = MinHasher(num_perm)
         self.bands = bands
         self.k = shingle_k
+        self.cache = TokenHashCache()  # per-actor memo, built once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
         out_band, out_key, out_id = [], [], []
         for i, t in zip(ids, texts):
-            sig = self.mh.signature(shingle_hashes(t, self.k))
+            sig = self.mh.signature(shingle_hashes(t, self.k, self.cache))
             keys = self.mh.band_keys(sig, self.bands)
             out_band.append(np.arange(self.bands, dtype=np.int32))
             out_key.append(keys)
@@ -130,12 +133,23 @@ def minhash_lsh_pairs(docs, threshold: float = 0.7, num_perm: int = 64,
     )
     cand = _bucket_pairs(sigs)
 
-    sh_store = {
-        int(i): shingle_hashes(t, shingle_k)
-        for i, t in zip(
-            docs.select_columns(["doc_id"]).to_pandas()["doc_id"],
-            docs.select_columns(["text"]).to_pandas()["text"],
+    # shingle store computed DISTRIBUTED (map_batches), only the hash arrays
+    # come back to the driver for the broadcast; scale path (noted above)
+    # replaces the broadcast with a pair-repartition + shingle-table join
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sh = [shingle_hashes(t, shingle_k) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "sh": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+            }
         )
+
+    sh_tab = docs.map_batches(to_shingles, batch_format="pyarrow").to_pandas()
+    sh_store = {
+        int(i): np.asarray(s, dtype=np.uint64)
+        for i, s in zip(sh_tab["doc_id"], sh_tab["sh"])
     }
     store_ref = ray.put(sh_store)
 
