@@ -576,7 +576,12 @@ def _q_pages_flagship(sf_dir: str):
     eng = PageRankEngine(lay, num_cpus_per_actor=0.25)
     res = eng.run(mode="barrier")
     eng.shutdown()
-    return _top20_df(res.ranks)
+    top = _top20_df(res.ranks)
+    # vid -> url reverse lookup from the layout's vertex table
+    verts = rd.read_parquet(os.path.join(root, "graph", "vertices")).to_pandas()
+    url_of = verts.set_index("vid")["url"]
+    top.insert(0, "url", top["vid"].map(url_of).astype(str))
+    return top
 
 
 def entry() -> Any:

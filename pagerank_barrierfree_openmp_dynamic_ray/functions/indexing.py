@@ -34,8 +34,11 @@ def sorted_zip_with_index(ds, sort_key: str, id_col: str = "vid"):
     counts: list[int] = []
     for b in bundles:
         for ref, meta in b.blocks:
-            block_refs.append(ref)
-            counts.append(meta.num_rows)
+            # skip empty blocks: sort emits them with a degenerate schema
+            # that would poison downstream unions/joins
+            if meta.num_rows:
+                block_refs.append(ref)
+                counts.append(meta.num_rows)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     out_refs = [
         _attach_index.remote(ref, int(offsets[i]), id_col)

@@ -92,12 +92,28 @@ def edges_to_vids(edge_urls, vertices, n_vertices: int):
 
         return edge_urls.map_batches(lookup, batch_format="pyarrow")
 
-    # scale path: distributed hash joins
-    v_src = vertices.rename_columns({"url": "src_url", "vid": "src"})
-    v_dst = vertices.rename_columns({"url": "dst_url", "vid": "dst"})
-    joined = edge_urls.join(v_src, join_type="inner", on=("src_url",), num_partitions=64)
-    joined = joined.join(v_dst, join_type="inner", on=("dst_url",), num_partitions=64)
-    return joined.select_columns(["src", "dst"])
+    # scale path: two distributed hash joins on url; partition count sized
+    # to the cluster (a count far above the CPU budget stalls the join's
+    # shuffle aggregators on small sessions).  Renames go through
+    # map_batches so every block carries an identical schema.
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def keep(cols_map):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({new: batch[old] for old, new in cols_map})
+        return f
+
+    j1 = edge_urls.join(
+        vertices, join_type="inner", num_partitions=nparts,
+        on=("src_url",), right_on=("url",),
+    ).map_batches(keep([("vid", "src"), ("dst_url", "dst_url")]),
+                  batch_format="pyarrow")
+    j2 = j1.join(
+        vertices, join_type="inner", num_partitions=nparts,
+        on=("dst_url",), right_on=("url",),
+    ).map_batches(keep([("src", "src"), ("vid", "dst")]),
+                  batch_format="pyarrow")
+    return j2.map_batches(_cast_edges, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -115,3 +115,33 @@ def test_pages_to_graph_end_to_end(ray_session, pages_1k, tmp_path):
     t = pq.read_table(layout.degrees)
     assert t.num_rows == layout.n_vertices
     assert (t["deg"].to_numpy() >= 1).all()
+
+
+def test_edges_to_vids_join_scale_path(ray_session, monkeypatch):
+    """Force the distributed Dataset.join path (normally only at >20M
+    vertices) and check it agrees with the broadcast path."""
+    import ray.data as rd
+
+    import pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build as gb
+
+    rows = [
+        {"src_url": f"u{a}", "dst_url": f"u{b}"}
+        for a, b in [(0, 1), (1, 2), (2, 0), (3, 1), (0, 2)]
+    ]
+    edge_urls = rd.from_items(rows)
+    vertices, n = gb.vertex_table(edge_urls)
+    vertices = vertices.materialize()
+    want = (
+        gb.edges_to_vids(edge_urls, vertices, n)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(gb, "BROADCAST_VERTEX_LIMIT", 0)
+    got = (
+        gb.edges_to_vids(edge_urls, vertices, n)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_like=True
+    )
