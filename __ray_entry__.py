@@ -537,6 +537,24 @@ def _q_events_window(sf_dir: str):
     return _i64(out.to_pandas())
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate: trailing 3-hour moving average of hourly
+    event counts per type (missing hours are real zeros, SQL RANGE-frame
+    semantics; stages/windows.py)."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.windows import (
+        sliding_hourly_mean,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    df = sliding_hourly_mean(ev, window=3).to_pandas()
+    df["moving_avg"] = np.round(df["moving_avg"], 9)
+    return _i64(df)
+
+
 def _q_li_pruned_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -626,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins + stream-shaped + pruned-read aggregates (SQL-checked)
         "rev_by_nation": _q_rev_by_nation,
         "events_window": _q_events_window,
+        "events_sliding": _q_events_sliding,
         "li_pruned_agg": _q_li_pruned_agg,
     }
 
@@ -750,6 +769,21 @@ SELECT event_type,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events GROUP BY event_type, hour
+""",
+        "events_sliding": """
+WITH c AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, hour
+)
+SELECT event_type, hour, n_events,
+       CAST(SUM(n_events) OVER w AS DOUBLE)
+         / LEAST(3, hour - MIN(hour) OVER (PARTITION BY event_type) + 1)
+         AS moving_avg
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
         "li_pruned_agg": "SELECT l_returnflag, COUNT(*) AS n_rows, "
         "SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",

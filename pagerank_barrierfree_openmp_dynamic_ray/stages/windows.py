@@ -1,0 +1,71 @@
+"""Windowed aggregates over the events stream table.
+
+Tumbling windows are a plain keyed aggregate (see the events_window driver
+query: per-batch partials -> one groupby).  Sliding windows need ordered
+neighborhoods, so the shape is: partial-aggregate to one row per (key,
+bucket) — the shuffle carries BUCKET rows, never raw events — then a
+per-key ``map_groups`` computes the window function over the (small) sorted
+bucket series.  Partitioning assumption: one key's bucket series fits a
+worker (buckets = hours, bounded); skewed keys are already collapsed to
+buckets before the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+
+def hourly_counts(events):
+    """(event_type, hour, n_events): tumbling hourly counts via per-batch
+    partials + one keyed aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # microseconds
+        hour = ts // 3_600_000_000
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "hour": hour})
+        g = df.groupby(["event_type", "hour"], sort=False).size().reset_index(name="n_part")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_part", alias_name="n_events"))
+    )
+
+
+def sliding_hourly_mean(events, window: int = 3):
+    """(event_type, hour, n_events, moving_avg): per-hour counts plus the
+    trailing ``window``-hour moving average (missing hours count 0 — gaps in
+    the series are real zeros, exactly ANSI-SQL RANGE framing semantics)."""
+    counts = hourly_counts(events)
+
+    def roll(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("hour").reset_index(drop=True)
+        lo, hi = int(df["hour"].min()), int(df["hour"].max())
+        hours = np.arange(lo, hi + 1, dtype=np.int64)
+        n = np.zeros(len(hours), dtype=np.int64)
+        n[df["hour"].to_numpy() - lo] = df["n_events"].to_numpy()
+        # exact integer window sums (cumsum difference), THEN one double
+        # division — bit-identical to SQL's SUM(...RANGE w-1 PRECEDING) /
+        # LEAST(w, hours-since-first+1)
+        cs = np.concatenate([[0], np.cumsum(n)])
+        msum = cs[1:] - cs[np.maximum(np.arange(len(n)) - window + 1, 0)]
+        div = np.minimum(np.arange(len(n)) + 1, window)
+        avg = msum / div
+        keep = n > 0  # emit only observed hours
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.repeat(df["event_type"].iloc[0], keep.sum())
+                ),
+                "hour": pa.array(hours[keep]),
+                "n_events": pa.array(n[keep]),
+                "moving_avg": pa.array(avg[keep]),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(roll, batch_format="pyarrow")

@@ -68,3 +68,36 @@ def test_ngram_jaccard_pairs_matches_matrix(ray_session):
     for k in exp:
         assert np.isclose(got[k], exp[k])
     assert (0, 1) in got and (2, 3) in got
+
+
+def test_sliding_hourly_mean_with_gaps(ray_session):
+    """Gap hours count as zero in the trailing mean (RANGE-frame semantics)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.windows import (
+        sliding_hourly_mean,
+    )
+
+    us = 3_600_000_000  # 1h in microseconds
+    rows = []
+    for h, cnt in [(0, 2), (1, 4), (3, 6)]:  # hour 2 missing
+        rows += [{"event_type": "a", "ts": h * us + i} for i in range(cnt)]
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r["event_type"] for r in rows]),
+                "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    df = (
+        sliding_hourly_mean(ev, window=3)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    assert df["hour"].tolist() == [0, 1, 3]
+    assert df["n_events"].tolist() == [2, 4, 6]
+    # h0: 2/1; h1: (2+4)/2; h3: (4+0+6)/3
+    np.testing.assert_allclose(df["moving_avg"], [2.0, 3.0, 10 / 3])
