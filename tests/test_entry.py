@@ -1,0 +1,51 @@
+"""Driver-contract smoke: __ray_entry__.entry/queries/oracle_sql shape.
+
+Guards the interface the driver grades: every query key resolves, every
+oracle key has a matching query, entry() returns rows with a stable schema,
+and a fast sample of queries runs at sf0.001.  (The full query-vs-oracle
+value comparison runs driver-side at sf0.01; tests keep to the cheap end.)
+"""
+
+import importlib
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    return importlib.import_module("__ray_entry__")
+
+
+def test_contract_shape(entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles) <= set(qs), "oracle keys must be query keys"
+    assert len(oracles) >= 14
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_entry_returns_rows(entry_mod):
+    out = entry_mod.entry()
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert len(df) > 0
+    assert list(df.columns) == ["vid", "rank"]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["lg_counts", "doc_token_counts", "doc_exact_dedup", "ann_top3",
+     "events_sliding", "rev_by_nation", "mm_audio_stats"],
+)
+def test_fast_queries_run(entry_mod, name):
+    df = entry_mod.queries()[name](SF)
+    df = df if isinstance(df, pd.DataFrame) else df.to_pandas()
+    assert len(df) > 0
