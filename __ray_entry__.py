@@ -504,6 +504,23 @@ def _q_mm_frames(sf_dir: str):
     return _i64(df.sort_values(["item_id", "frame"]).reset_index(drop=True))
 
 
+def _q_ann_ivf_top3(sf_dir: str):
+    """IVF-bucketed ANN (k-means codebook, nprobe probing) — rows-only;
+    recall vs brute force is pinned in tests."""
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import ivf_topk
+
+    emb = _emb(sf_dir)
+    qdf = (
+        emb.to_pandas().query("vec_id < 5").sort_values("vec_id").reset_index(drop=True)
+    )
+    queries = np.vstack(qdf["embedding"].to_numpy()).astype(np.float32)
+    got = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4).to_pandas()
+    got["qid"] = qdf["vec_id"].to_numpy()[got["qid"].to_numpy()]
+    got = got.sort_values(["qid", "score"], ascending=[True, False])
+    got["rnk"] = got.groupby("qid").cumcount() + 1
+    return _i64(got[["qid", "vec_id", "rnk"]].reset_index(drop=True))
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Max, Min, Sum
@@ -636,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_top3": _q_ann_top3,
         "ann_lsh_top3": _q_ann_lsh_top3,
+        "ann_ivf_top3": _q_ann_ivf_top3,
         "emb_near_dup": _q_emb_near_dup,
         # multimodal plumbing (rows-only; deterministic fake codec)
         "mm_image_stats": _q_mm_image_stats,

@@ -153,6 +153,89 @@ def lsh_topk(embeddings, queries: np.ndarray, k: int = 10, bits: int = 6,
     return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
 
 
+def kmeans_centroids(m: np.ndarray, n_centroids: int, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd's k-means on (normalized) vectors — the IVF codebook.
+    Driver-side over a SAMPLE of the corpus (sandbox scale); the scale path
+    is a distributed k-means|| over map_batches partial assignments with the
+    same output contract."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(np.asarray(m, np.float32))
+    c = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(len(c)):
+            sel = m[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(embeddings, queries: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             train_sample: int = 4096, seed: int = 42):
+    """IVF approximate top-k: corpus bucketed by nearest k-means centroid
+    (ONE groupby); each query probes its ``nprobe`` nearest centroid buckets.
+    Same downstream shape as :func:`lsh_topk`; per-query work drops from
+    O(N) to ~O(N * nprobe / n_centroids).  Recall measured vs brute force in
+    tests."""
+    q = _normalize(np.asarray(queries, np.float32))
+    train = np.vstack(
+        embeddings.limit(train_sample).to_pandas()["embedding"].to_numpy()
+    ).astype(np.float32)
+    cents = kmeans_centroids(train, n_centroids, seed=seed)
+    # probe map: bucket -> list of query indices probing it
+    probe: dict[int, list[int]] = {}
+    order = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    for qi, buckets in enumerate(order):
+        for b in buckets:
+            probe.setdefault(int(b), []).append(qi)
+    qref = ray.put((q, probe))
+    cref = ray.put(cents)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, emb = _batch_matrix(batch)
+        bucket = np.argmax(_normalize(emb) @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(bucket), "vec_id": pa.array(ids),
+             "embedding": batch["embedding"]}
+        )
+
+    tagged = embeddings.map_batches(tag, batch_format="pyarrow")
+
+    def search(group: pa.Table) -> pa.Table:
+        qm, pr = ray.get(qref)
+        bucket = int(group["bucket"][0].as_py())
+        qids = pr.get(bucket, [])
+        if not qids:
+            return pa.table({"qid": pa.array(np.empty(0, np.int64)),
+                             "vec_id": pa.array(np.empty(0, np.int64)),
+                             "score": pa.array(np.empty(0, np.float64))})
+        ids, emb = _batch_matrix(group)
+        sims = _normalize(emb) @ qm[qids].T
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        qid = np.repeat(np.asarray(qids, np.int64), kk)
+        vid = ids[top.T.ravel()]
+        sc = np.take_along_axis(sims, top, axis=0).T.ravel()
+        return pa.table({"qid": pa.array(qid), "vec_id": pa.array(vid),
+                         "score": pa.array(sc.astype(np.float64))})
+
+    partials = tagged.groupby("bucket").map_groups(search, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        sc = group["score"].to_numpy(zero_copy_only=False)
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        qid = group["qid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sc))[:k]
+        return pa.table({"qid": pa.array(qid[order]), "vec_id": pa.array(vid[order]),
+                         "score": pa.array(sc[order])})
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
 def near_dup_cosine(embeddings, tau: float = 0.95, dtype=np.float32):
     """All pairs (a < b, cosine >= tau).  The corpus matrix is broadcast once
     (sandbox scale); each batch multiplies against it — O(N x B x d) blocked.

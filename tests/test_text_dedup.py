@@ -219,3 +219,21 @@ def test_audio_plumbing(ray_session):
     np.testing.assert_array_equal(out["sample_rate"], 16000)
     np.testing.assert_allclose(out["duration_s"], np.arange(1, 9, dtype=float))
     assert (out["rms"] > 0).all()
+
+
+def test_ivf_topk_recall(emb):
+    """IVF recall@5 vs brute force >= 0.8 on the clustered embedding table
+    (nprobe=4 of 8 centroids)."""
+    qdf = emb.limit(8).to_pandas()
+    queries = np.vstack(qdf["embedding"].to_numpy()).astype(np.float32)
+    exact = similarity.topk_cosine(emb, queries, k=5).to_pandas()
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=4
+    ).to_pandas()
+    hits = tot = 0
+    for qi in range(len(queries)):
+        want = set(exact[exact["qid"] == qi]["vec_id"])
+        got = set(approx[approx["qid"] == qi]["vec_id"])
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.8, f"recall {hits/tot:.2f}"
