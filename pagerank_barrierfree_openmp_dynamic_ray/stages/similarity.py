@@ -236,6 +236,57 @@ def ivf_topk(embeddings, queries: np.ndarray, k: int = 10,
     return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
 
 
+def near_dup_cosine_lsh(embeddings, tau: float = 0.95, bits: int = 8,
+                        seed: int = 42):
+    """Approximate all-pairs cosine >= tau — the SCALE path for
+    :func:`near_dup_cosine`: vectors are tagged with every hyperplane code
+    within hamming distance 1 of their own (multiprobe replication), one
+    groupby co-locates candidates, pairs are verified inside each bucket.
+    No corpus broadcast; work per bucket ~ (N/2^bits * (bits+1))^2.
+    Approximate: pairs whose codes differ in >1 bit are missed — recall vs
+    the exact kernel is pinned in tests."""
+    pdf0 = embeddings.limit(1).to_pandas()
+    dim = len(pdf0["embedding"].iloc[0])
+    lsh = HyperplaneLsh(dim, bits, seed)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids, emb = _batch_matrix(batch)
+        codes = lsh.codes(_normalize(emb))
+        # replicate each row into its own bucket + all hamming-1 buckets
+        reps = np.concatenate(
+            [codes] + [codes ^ (1 << b) for b in range(bits)]
+        )
+        rid = np.tile(ids, bits + 1)
+        remb = pa.concat_arrays(
+            [batch["embedding"].combine_chunks()] * (bits + 1)
+        )
+        return pa.table(
+            {"bucket": pa.array(reps), "vec_id": pa.array(rid),
+             "embedding": remb}
+        )
+
+    tagged = embeddings.map_batches(tag, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids, emb = _batch_matrix(group)
+        uniq, first = np.unique(ids, return_index=True)
+        m = _normalize(emb[first])
+        sims = m @ m.T
+        i, j = np.nonzero(np.triu(sims >= tau, 1))
+        return pa.table(
+            {"a": pa.array(uniq[i]), "b": pa.array(uniq[j]),
+             "cosine": pa.array(sims[i, j].astype(np.float64))}
+        )
+
+    cand = tagged.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+    # a pair can fire in several buckets — one exact dedup groupby
+    def first_only(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return cand.groupby(["a", "b"]).map_groups(first_only, batch_format="pyarrow")
+
+
 def near_dup_cosine(embeddings, tau: float = 0.95, dtype=np.float32):
     """All pairs (a < b, cosine >= tau).  The corpus matrix is broadcast once
     (sandbox scale); each batch multiplies against it — O(N x B x d) blocked.

@@ -237,3 +237,32 @@ def test_ivf_topk_recall(emb):
         hits += len(want & got)
         tot += len(want)
     assert hits / tot >= 0.8, f"recall {hits/tot:.2f}"
+
+
+def test_near_dup_cosine_lsh_planted(ray_session):
+    """Planted near-duplicate vectors (tiny noise, cosine ~0.999) are found
+    by the LSH-bucketed scale path; pair set matches the exact kernel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    dups = base[:10] + 0.01 * rng.standard_normal((10, 32)).astype(np.float32)
+    m = np.vstack([base, dups])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+                "embedding": pa.array([r.tolist() for r in m],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+    exact = similarity.near_dup_cosine(ds, tau=0.98).to_pandas()
+    approx = similarity.near_dup_cosine_lsh(ds, tau=0.98, bits=8).to_pandas()
+    e = set(zip(exact["a"], exact["b"]))
+    a = set(zip(approx["a"], approx["b"]))
+    assert {(i, 60 + i) for i in range(10)} <= e
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+    assert a <= e  # within-bucket verification is exact -> no false pairs
