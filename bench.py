@@ -294,8 +294,63 @@ def run_scaling() -> dict:
     }
 
 
+def run_faults() -> dict:
+    """Sleep-fault grid (the reference's suite 3, `main.sh:33-42` /
+    `README.md:78-94`): with-barrier vs barrier-free wall time and rank
+    quality while half the partitions randomly sleep.  Under a barrier one
+    sleeping partition stalls everyone; barrier-free lets the rest keep
+    sweeping — the headline margin being reproduced."""
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.derived import (
+        V,
+        derived_edges,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        PageRankEngine,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import build_graph
+
+    P = 8
+    lay = build_graph(derived_edges(SF), os.path.join(WORK, "gf"), P, n_vertices=V)
+    eng = PageRankEngine(lay, num_cpus_per_actor=max(1, (NCPU - 2) // P))
+    clean = eng.run(mode="barrier").ranks
+    sleepy = set(range(0, P, 2))  # half the partitions
+    grid = {}
+    for prob in (0.02, 0.1):
+        fault = {"sleep_prob": prob, "sleep_s": 0.05, "pids": sleepy}
+        row = {}
+        for mode in ("barrier", "barrierfree"):
+            t0 = time.perf_counter()
+            res = eng.run(mode=mode, fault=fault)
+            row[mode] = {
+                "wall_s": round(time.perf_counter() - t0, 2),
+                "iters": res.iterations,
+                "linf_err_vs_clean": float(np.abs(res.ranks - clean).max()),
+            }
+        row["barrierfree_speedup"] = round(
+            row["barrier"]["wall_s"] / row["barrierfree"]["wall_s"], 2
+        )
+        grid[str(prob)] = row
+    eng.shutdown()
+    out = {"metric": "fault_sleep_grid", "sleep_s": 0.05,
+           "sleepy_partitions": sorted(sleepy), "partitions": P,
+           "num_cpus": NCPU, "grid": grid, "sf": SF}
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--faults" in sys.argv:
+        print(json.dumps(run_faults()))
     else:
         print(json.dumps(run_bench()))

@@ -158,7 +158,7 @@ class PageRankEngine:
         if mode == "barrier":
             iters, residual = self._run_superstep(
                 c0, damping, tol, max_iter, frontier_d,
-                checkpoint_dir, checkpoint_every, variant, norm,
+                checkpoint_dir, checkpoint_every, variant, norm, fault,
             )
         elif mode == "barrierfree":
             if norm != "linf":
@@ -190,7 +190,7 @@ class PageRankEngine:
     # ------------------------------------------------------------------
     def _run_superstep(
         self, c0, damping, tol, max_iter, frontier_d,
-        checkpoint_dir, checkpoint_every, variant, norm="linf",
+        checkpoint_dir, checkpoint_every, variant, norm="linf", fault=None,
     ):
         """With-barrier loop (`src/pagerankBasic.hxx:53-68`): double-buffered
         shards, one global residual reduce per iteration.  ``norm``: the
@@ -214,8 +214,10 @@ class PageRankEngine:
                 a.step.options(num_returns=2).remote(
                     None if hot_on else shard_refs, c0, damping, tol, fd,
                     hot_sums,
+                    fault if fault and p in fault.get("pids", range(self.P))
+                    else None,
                 )
-                for a in self.actors
+                for p, a in enumerate(self.actors)
             ]
             shard_refs = [f[0] for f in futs]
             stats = ray.get([f[1] for f in futs])

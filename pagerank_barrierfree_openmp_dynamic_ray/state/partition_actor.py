@@ -210,11 +210,20 @@ class CsrPartitionActor:
         self._cvals = self.csr.gather(shards)
         return self.csr.hot_partial(self._cvals)
 
-    def step(self, shard_refs, c0, damping, tol, frontier_d, hot_sums=None):
+    def step(self, shard_refs, c0, damping, tol, frontier_d, hot_sums=None,
+             fault=None):
         """One with-barrier superstep.  ``shard_refs``: refs of every
         partition's previous-iteration contribution shard; fetches only the
         partitions in the gather plan (``None`` -> reuse the contributions
-        cached by ``hot_partial_step``).  Returns (new_shard, stats)."""
+        cached by ``hot_partial_step``).  Returns (new_shard, stats).
+        ``fault``: sleep injection (`main.cxx:137-153` model) — under a
+        barrier a sleeping partition stalls EVERY partition's iteration,
+        which is exactly the effect the barrier-free mode removes."""
+        if fault and fault.get("sleep_prob"):
+            if not hasattr(self, "_fault_rng"):
+                self._fault_rng = np.random.default_rng([self.pid, 987])
+            if self._fault_rng.random() < fault["sleep_prob"]:
+                time.sleep(fault.get("sleep_s", 0.05))
         if shard_refs is None:
             cvals = self._cvals
         else:
