@@ -347,10 +347,116 @@ def run_faults() -> dict:
     return out
 
 
+def run_batches() -> dict:
+    """Batch-fraction sweep (the reference's runBatches, `main.cxx:74-117`,
+    fractions within the sandbox-feasible band): per fraction f, delete+insert
+    round(f*|E|) random edges, then time naive-dynamic vs dynamic-frontier
+    warm-started runs on the updated graph — the crossover the reference
+    reports around 1e-3*|E| (`README.md:56-58`)."""
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.derived import (
+        V,
+        derived_edges,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        Frontier,
+        PageRankEngine,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
+        apply_batch_to_layout,
+        generate_batch,
+        layout_edge_arrays,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import build_graph
+
+    P = 8
+    base = build_graph(derived_edges(SF), os.path.join(WORK, "gb"), P, n_vertices=V)
+    eng = PageRankEngine(base, num_cpus_per_actor=max(1, (NCPU - 2) // P))
+    warm = eng.run(mode="barrier").ranks
+    eng.shutdown()
+    s0, d0 = layout_edge_arrays(base)
+    grid = {}
+    for frac in (1e-5, 1e-4, 1e-3, 1e-2):
+        bsz = max(1, int(round(frac * base.n_edges)))
+        ds_, dd_, is_, id_ = generate_batch(s0, d0, V, batch_size=bsz, seed=42)
+        new = apply_batch_to_layout(
+            base, os.path.join(WORK, f"gb_{frac}"), ds_, dd_, is_, id_
+        )
+        eng2 = PageRankEngine(new, num_cpus_per_actor=max(1, (NCPU - 2) // P))
+        row = {"batch_edges": bsz}
+        t0 = time.perf_counter()
+        rn = eng2.run(mode="barrier", q=warm)
+        row["naive"] = {"wall_s": round(time.perf_counter() - t0, 3),
+                        "iters": rn.iterations,
+                        "swept_vertices": rn.stats["swept_vertices"]}
+        t0 = time.perf_counter()
+        rf = eng2.run(mode="barrier", q=warm,
+                      frontier=Frontier(old_layout=base, del_src=ds_, ins_src=is_))
+        row["frontier"] = {"wall_s": round(time.perf_counter() - t0, 3),
+                           "iters": rf.iterations,
+                           "swept_vertices": rf.stats["swept_vertices"]}
+        row["rank_linf_diff"] = float(np.abs(rn.ranks - rf.ranks).max())
+        row["sweep_savings"] = round(
+            rn.stats["swept_vertices"] / max(1, rf.stats["swept_vertices"]), 2
+        )
+        eng2.shutdown()
+        grid[f"{frac:g}"] = row
+
+    # --- localized-graph section: the derived graph is an expander (the
+    # D-threshold diffusion radius covers it in ~3 hops), so frontier ~
+    # naive there; on a LOCALIZED graph (ring, each vertex -> next 4) the
+    # affected set stays small and frontier's savings are visible ---
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_ring = 200_000
+    ring_src = np.repeat(np.arange(n_ring, dtype=np.uint64), 4)
+    ring_dst = (ring_src + np.tile(np.arange(1, 5, dtype=np.uint64), n_ring)) % n_ring
+    ring = build_graph(
+        rd.from_arrow(pa.table({"src": pa.array(ring_src), "dst": pa.array(ring_dst)})),
+        os.path.join(WORK, "ring"), P, n_vertices=n_ring,
+    )
+    engr = PageRankEngine(ring, num_cpus_per_actor=max(1, (NCPU - 2) // P))
+    warm_r = engr.run(mode="barrier").ranks
+    rs, rd_ = layout_edge_arrays(ring)
+    ds_, dd_, is_, id_ = generate_batch(rs, rd_, n_ring, batch_size=20, seed=7)
+    engr.shutdown()
+    ring2 = apply_batch_to_layout(ring, os.path.join(WORK, "ring2"), ds_, dd_, is_, id_)
+    engr2 = PageRankEngine(ring2, num_cpus_per_actor=max(1, (NCPU - 2) // P))
+    rn = engr2.run(mode="barrier", q=warm_r)
+    rf = engr2.run(mode="barrier", q=warm_r,
+                   frontier=Frontier(old_layout=ring, del_src=ds_, ins_src=is_))
+    localized = {
+        "n_vertices": n_ring, "batch_edges": 20,
+        "naive_swept": rn.stats["swept_vertices"],
+        "frontier_swept": rf.stats["swept_vertices"],
+        "sweep_savings": round(
+            rn.stats["swept_vertices"] / max(1, rf.stats["swept_vertices"]), 1
+        ),
+        "rank_linf_diff": float(np.abs(rn.ranks - rf.ranks).max()),
+    }
+    engr2.shutdown()
+    out = {"metric": "batch_fraction_sweep", "partitions": P,
+           "num_cpus": NCPU, "n_edges": base.n_edges, "grid": grid,
+           "localized_ring": localized, "sf": SF}
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--faults" in sys.argv:
         print(json.dumps(run_faults()))
+    elif "--batches" in sys.argv:
+        print(json.dumps(run_batches()))
     else:
         print(json.dumps(run_bench()))

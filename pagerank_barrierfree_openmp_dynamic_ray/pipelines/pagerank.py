@@ -147,6 +147,7 @@ class PageRankEngine:
         frontier_d = 0.001 * tol if frontier_on else None
 
         t0 = time.perf_counter()
+        self._swept_vertices = None  # set by the superstep loop
         self._scatter_q(q)
         ray.get([a.set_frontier_mode.remote(frontier_on) for a in self.actors])
         if frontier is not None:
@@ -184,7 +185,8 @@ class PageRankEngine:
             mode=mode,
             variant=variant,
             stats={"num_partitions": self.P, "n_vertices": self.n,
-                   "n_edges": self.layout.n_edges},
+                   "n_edges": self.layout.n_edges,
+                   "swept_vertices": getattr(self, "_swept_vertices", None)},
         )
 
     # ------------------------------------------------------------------
@@ -199,6 +201,7 @@ class PageRankEngine:
         shard_refs = [a.shard.remote() for a in self.actors]
         hot_on = self.layout.n_hot > 0
         iters, residual = 0, float("inf")
+        self._swept_vertices = 0  # total vertex-sweeps (frontier-savings meter)
         fd = frontier_d
         while iters < max_iter:
             hot_sums = None
@@ -222,6 +225,7 @@ class PageRankEngine:
             shard_refs = [f[0] for f in futs]
             stats = ray.get([f[1] for f in futs])
             iters += 1
+            self._swept_vertices += sum(s["n_active"] for s in stats)
             if norm == "l1":
                 residual = sum(s["l1"] for s in stats)
             elif norm == "l2":
