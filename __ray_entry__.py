@@ -204,6 +204,51 @@ def _q_pr_hot_split_top20(sf_dir: str):
         eng.shutdown()
 
 
+def _q_pr_weighted_top20(sf_dir: str):
+    """Weighted static PageRank (the reference's weighted read path,
+    `src/mtx.hxx:68-72`): derived edges carry w = (l_quantity % 5) + 1;
+    duplicate links sum.  Rows-only; weighted-vs-oracle match is pinned in
+    tests/test_weighted.py."""
+    import tempfile
+
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        PageRankEngine,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import build_graph
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity"],
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qt = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(((ok * 131 + ln) % V).astype(np.uint64)),
+                "dst": pa.array(((pk * 524287 + sk) % V).astype(np.uint64)),
+                "w": pa.array(((qt % 5) + 1).astype(np.float64)),
+            }
+        )
+
+    out = os.path.join(tempfile.gettempdir(), "graft_layouts",
+                       os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_w")
+    lay = build_graph(li.map_batches(to_edges, batch_format="pyarrow"), out, 8,
+                      n_vertices=V)
+    eng = PageRankEngine(lay, num_cpus_per_actor=0.25)
+    try:
+        return _top20_df(eng.run(mode="barrier").ranks)
+    finally:
+        eng.shutdown()
+
+
 def _q_cc_components(sf_dir: str):
     import pandas as pd
     import ray.data as rd
@@ -637,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_barrierfree_top20": _q_pr_barrierfree_top20,
         "pr_dynamic_frontier_top20": _q_pr_dynamic_frontier_top20,
         "pr_hot_split_top20": _q_pr_hot_split_top20,
+        "pr_weighted_top20": _q_pr_weighted_top20,
         "cc_components": _q_cc_components,
         "lp_labels": _q_lp_labels,
         "pages_flagship": _q_pages_flagship,

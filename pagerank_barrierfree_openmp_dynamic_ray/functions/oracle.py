@@ -18,6 +18,7 @@ def pagerank_power(
     tol: float = 1e-10,
     max_iter: int = 500,
     init: np.ndarray | None = None,
+    w: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Synchronous pull PageRank, exactly ``pagerankBasicSeqLoop``
     (``src/pagerankBasic.hxx:36-50``): a[v] = C0 + P * sum_{(u,v)} r[u]/d[u],
@@ -26,12 +27,18 @@ def pagerank_power(
     Edges must already include self-loops; every vertex 0..n-1 exists.
     Returns (ranks, iterations).
     """
-    deg = np.bincount(src, minlength=n).astype(np.float64)
+    if w is None:
+        deg = np.bincount(src, minlength=n).astype(np.float64)
+    else:
+        w = np.asarray(w, dtype=np.float64)
+        deg = np.bincount(src, weights=w, minlength=n)
     r = np.full(n, 1.0 / n) if init is None else init.astype(np.float64).copy()
     c0 = (1.0 - damping) / n
     it = 0
     while it < max_iter:
         contrib = r[src] / deg[src]
+        if w is not None:
+            contrib = contrib * w
         a = c0 + damping * np.bincount(dst, weights=contrib, minlength=n)
         it += 1
         err = np.abs(a - r).max()

@@ -164,6 +164,38 @@ def dedup_edges(edges, num_partitions: int = DEDUP_PARTITIONS):
     )
 
 
+def dedup_edges_weighted(edges, num_partitions: int = DEDUP_PARTITIONS):
+    """(src, dst, w) -> one row per (src, dst) with summed weight.  The
+    reference's weighted read (`src/mtx.hxx:68-72`) upserts duplicate edges;
+    for a link graph we aggregate duplicate links by SUM (anchor
+    multiplicity) — the per-batch combiner + hash(src,dst)%P shuffle is the
+    same fast plan as :func:`dedup_edges`."""
+    P = np.uint64(num_partitions)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch.select(["src", "dst", "w"]).group_by(["src", "dst"]).aggregate(
+            [("w", "sum")]
+        ).rename_columns(["src", "dst", "w"])
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((s * np.uint64(1_000_003) + d) % P).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def sum_part(group: pa.Table) -> pa.Table:
+        t = group.select(["src", "dst", "w"]).group_by(["src", "dst"]).aggregate(
+            [("w", "sum")]
+        ).rename_columns(["src", "dst", "w"])
+        return t.cast(pa.schema(
+            [("src", pa.uint64()), ("dst", pa.uint64()), ("w", pa.float64())]
+        ))
+
+    return (
+        edges.map_batches(combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sum_part, batch_format="pyarrow")
+    )
+
+
 def self_loop_table(n_vertices: int):
     """(v, v) for every vertex — ``selfLoopOmp`` (``src/selfLoop.hxx:57-69``)."""
 
@@ -174,13 +206,22 @@ def self_loop_table(n_vertices: int):
     return rd.range(n_vertices).map_batches(to_edges, batch_format="pyarrow")
 
 
-def add_self_loops(edges, n_vertices: int):
+def add_self_loops(edges, n_vertices: int, weighted: bool = False):
     """Union self-loops onto an edge table without a second dedup: drop any
-    existing loops, dedup the rest, union the complete loop set."""
+    existing loops, dedup the rest, union the complete loop set (weight 1.0
+    in the weighted case — ``addEdge`` default, `src/Graph.hxx:343-360`)."""
     no_loops = edges.map_batches(
         lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
         batch_format="pyarrow",
     )
+    if weighted:
+        loops = self_loop_table(n_vertices).map_batches(
+            lambda t: t.append_column(
+                "w", pa.array(np.ones(t.num_rows, np.float64))
+            ),
+            batch_format="pyarrow",
+        )
+        return dedup_edges_weighted(no_loops).union(loops)
     return dedup_edges(no_loops).union(self_loop_table(n_vertices))
 
 
@@ -207,6 +248,34 @@ def out_degrees(edges, num_partitions: int = DEDUP_PARTITIONS):
         c = group["deg_part"].to_numpy(zero_copy_only=False)
         uv, inv = np.unique(v, return_inverse=True)
         deg = np.bincount(inv, weights=c, minlength=len(uv)).astype(np.int64)
+        return pa.table({"vid": pa.array(uv), "deg": pa.array(deg)})
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("part").map_groups(sum_part, batch_format="pyarrow")
+
+
+def out_weighted_degrees(edges, num_partitions: int = DEDUP_PARTITIONS):
+    """(vid, deg): SUM of out-edge weights per src (weighted analogue of
+    :func:`out_degrees`; the transpose vertex value in the weighted case)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vids, inv = np.unique(src, return_inverse=True)
+        ws = np.bincount(inv, weights=w, minlength=len(vids))
+        return pa.table(
+            {
+                "vid": pa.array(vids),
+                "deg_part": pa.array(ws),
+                "part": pa.array((vids % num_partitions).astype(np.int32)),
+            }
+        )
+
+    def sum_part(group: pa.Table) -> pa.Table:
+        v = group["vid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = group["deg_part"].to_numpy(zero_copy_only=False)
+        uv, inv = np.unique(v, return_inverse=True)
+        deg = np.bincount(inv, weights=c, minlength=len(uv))
         return pa.table({"vid": pa.array(uv), "deg": pa.array(deg)})
 
     partials = edges.map_batches(partial, batch_format="pyarrow")
@@ -251,6 +320,7 @@ class GraphLayout:
     num_partitions: int
     n_hot: int = 0
     hot_in_threshold: int | None = None
+    weighted: bool = False
 
     @property
     def edges_in(self) -> str:
@@ -282,6 +352,7 @@ class GraphLayout:
                     "num_partitions": self.num_partitions,
                     "n_hot": self.n_hot,
                     "hot_in_threshold": self.hot_in_threshold,
+                    "weighted": self.weighted,
                     "layout": ["edges_in", "edges_in_hot", "edges_out", "degrees"],
                 },
                 f,
@@ -295,6 +366,7 @@ class GraphLayout:
         return cls(
             path, m["n_vertices"], m["n_edges"], m["num_partitions"],
             m.get("n_hot", 0), m.get("hot_in_threshold"),
+            m.get("weighted", False),
         )
 
 
@@ -369,7 +441,11 @@ def build_graph(
         ).max("m")
         n_vertices = int(mx) + 1
 
-    final = add_self_loops(edges, n_vertices) if add_loops else dedup_edges(edges)
+    weighted = "w" in (edges.schema().names or [])
+    if add_loops:
+        final = add_self_loops(edges, n_vertices, weighted=weighted)
+    else:
+        final = dedup_edges_weighted(edges) if weighted else dedup_edges(edges)
     # One pass per layout; the dedup'd table is re-used via lineage (no
     # driver materialization).  Persist it once to avoid recomputing the
     # dedup shuffle three times.
@@ -403,14 +479,13 @@ def build_graph(
                            num_partitions)
 
     _write_partitioned(final, os.path.join(out_dir, "edges_out"), "src", num_partitions)
-    _write_partitioned(
-        out_degrees(final), os.path.join(out_dir, "degrees"), "vid", num_partitions
-    )
+    degs = out_weighted_degrees(final) if weighted else out_degrees(final)
+    _write_partitioned(degs, os.path.join(out_dir, "degrees"), "vid", num_partitions)
     n_edges = final.count()
 
     layout = GraphLayout(
         out_dir, int(n_vertices), int(n_edges), num_partitions, int(len(hot)),
-        hot_in_threshold,
+        hot_in_threshold, weighted,
     )
     layout.save()
     return layout

@@ -76,6 +76,9 @@ class CsrPartition:
     own_hot_slots: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
     own_hot_idx: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
     hot_idx_of_slot: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    # optional per-edge weights (weighted graphs; None = unweighted)
+    in_w: np.ndarray | None = None
+    hot_w: np.ndarray | None = None
 
     @staticmethod
     def owned_count(n_vertices: int, pid: int, num_partitions: int) -> int:
@@ -99,6 +102,8 @@ class CsrPartition:
         hot_vids: np.ndarray | None = None,
         hot_src: np.ndarray | None = None,
         hot_dst: np.ndarray | None = None,
+        in_w: np.ndarray | None = None,
+        hot_w: np.ndarray | None = None,
     ) -> "CsrPartition":
         P = num_partitions
         n_owned = cls.owned_count(n_vertices, pid, P)
@@ -114,6 +119,8 @@ class CsrPartition:
         order = np.lexsort((in_src, dl))
         dl = dl[order]
         s = in_src[order]
+        if in_w is not None:
+            in_w = np.asarray(in_w, dtype=np.float64)[order]
         in_indptr = np.zeros(n_owned + 1, dtype=np.int64)
         np.cumsum(np.bincount(dl, minlength=n_owned), out=in_indptr[1:])
 
@@ -180,9 +187,11 @@ class CsrPartition:
             own_hot_slots=own_hot_slots,
             own_hot_idx=own_hot_idx,
             hot_idx_of_slot=hot_idx_of_slot,
+            in_w=in_w,
+            hot_w=np.asarray(hot_w, np.float64) if hot_w is not None else None,
         )
 
-    _CACHE_VERSION = 1
+    _CACHE_VERSION = 2
 
     def _save_cache(self, layout_path: str, n_edges_expected: int) -> None:
         d = os.path.join(layout_path, "csr_cache")
@@ -207,6 +216,9 @@ class CsrPartition:
             own_hot_slots=self.own_hot_slots,
             own_hot_idx=self.own_hot_idx,
             hot_idx_of_slot=self.hot_idx_of_slot,
+            weighted=np.int64(self.in_w is not None),
+            in_w=self.in_w if self.in_w is not None else np.empty(0),
+            hot_w=self.hot_w if self.hot_w is not None else np.empty(0),
         )
         os.replace(tmp, f)
 
@@ -232,6 +244,8 @@ class CsrPartition:
                 out_dst=z["out_dst"], n_hot=n_hot, hot_slot=z["hot_slot"],
                 hot_src_pos=z["hot_src_pos"], own_hot_slots=z["own_hot_slots"],
                 own_hot_idx=z["own_hot_idx"], hot_idx_of_slot=z["hot_idx_of_slot"],
+                in_w=z["in_w"] if int(z["weighted"]) else None,
+                hot_w=z["hot_w"] if int(z["weighted"]) else None,
             )
         except Exception:
             return None
@@ -262,19 +276,23 @@ class CsrPartition:
             t = pq.read_table(d, columns=cols)
             return {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
 
-        ein = read("edges_in", ["src", "dst"])
+        weighted = meta.get("weighted", False)
+        ecols = ["src", "dst", "w"] if weighted else ["src", "dst"]
+        ein = read("edges_in", ecols)
         eout = read("edges_out", ["src", "dst"])
         degs = read("degrees", ["vid", "deg"])
-        hot_vids = hot_src = hot_dst = None
+        hot_vids = hot_src = hot_dst = hot_w = None
         if meta.get("n_hot", 0):
             hot_vids = np.load(os.path.join(layout_path, "hot.npy"))
-            ehot = read("edges_in_hot", ["src", "dst"])
+            ehot = read("edges_in_hot", ecols)
             hot_src, hot_dst = ehot["src"], ehot["dst"]
+            hot_w = ehot.get("w")
         csr = cls.build(
             pid, P, n,
             ein["src"], ein["dst"], eout["src"], eout["dst"],
             degs["vid"], degs["deg"],
             hot_vids=hot_vids, hot_src=hot_src, hot_dst=hot_dst,
+            in_w=ein.get("w"), hot_w=hot_w,
         )
         try:
             csr._save_cache(layout_path, meta["n_edges"])
@@ -300,9 +318,10 @@ class CsrPartition:
         vertex (its src%P shard of their in-edges).  Owners combine the P
         partials — the partial/combine structure that keeps a celebrity
         vertex's in-edge sum spread across the cluster."""
-        return np.bincount(
-            self.hot_slot, weights=cvals[self.hot_src_pos], minlength=self.n_hot
-        )
+        wts = cvals[self.hot_src_pos]
+        if self.hot_w is not None:
+            wts = wts * self.hot_w
+        return np.bincount(self.hot_slot, weights=wts, minlength=self.n_hot)
 
     def pull_all(
         self, cvals: np.ndarray, c0: float, damping: float,
@@ -312,9 +331,10 @@ class CsrPartition:
         (`src/pagerank.hxx:203-213` full sweep).  ``hot_sums``: combined hot
         partials (global hot list order); owned hot vertices have no cold
         in-edges, so their rank comes entirely from the combined sums."""
-        sums = np.bincount(
-            self.in_dst_local, weights=cvals[self.in_src_pos], minlength=self.n_owned
-        )
+        wts = cvals[self.in_src_pos]
+        if self.in_w is not None:
+            wts = wts * self.in_w
+        sums = np.bincount(self.in_dst_local, weights=wts, minlength=self.n_owned)
         if hot_sums is not None and len(self.own_hot_slots):
             sums[self.own_hot_slots] = hot_sums[self.own_hot_idx]
         return c0 + damping * sums
@@ -326,7 +346,10 @@ class CsrPartition:
         """Ranks for the selected owned slots only (frontier sweep:
         `src/pagerankBasic.hxx:189-201` — only affected vertices touched)."""
         pos, seg = range_gather(self.in_indptr, sel)
-        sums = np.bincount(seg, weights=cvals[self.in_src_pos[pos]], minlength=len(sel))
+        wts = cvals[self.in_src_pos[pos]]
+        if self.in_w is not None:
+            wts = wts * self.in_w[pos]
+        sums = np.bincount(seg, weights=wts, minlength=len(sel))
         if hot_sums is not None and len(self.own_hot_slots):
             hi = self.hot_idx_of_slot[sel]
             m = hi >= 0
