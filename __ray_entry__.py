@@ -209,13 +209,29 @@ def _q_pr_weighted_top20(sf_dir: str):
     `src/mtx.hxx:68-72`): derived edges carry w = (l_quantity % 5) + 1;
     duplicate links sum.  Rows-only; weighted-vs-oracle match is pinned in
     tests/test_weighted.py."""
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        PageRankEngine,
+    )
+
+    eng = PageRankEngine(_weighted_layout(sf_dir), num_cpus_per_actor=0.25)
+    try:
+        return _top20_df(eng.run(mode="barrier").ranks)
+    finally:
+        eng.shutdown()
+
+
+_WEIGHTED_E = (
+    "SELECT (l_orderkey * 131 + l_linenumber) % 65521 AS src, "
+    "(l_partkey * 524287 + l_suppkey) % 65521 AS dst, "
+    "(CAST(l_quantity AS BIGINT) % 5) + 1 AS w FROM lineitem"
+)
+
+
+def _weighted_layout(sf_dir: str):
     import tempfile
 
     import ray.data as rd
 
-    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
-        PageRankEngine,
-    )
     from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import build_graph
 
     li = rd.read_parquet(
@@ -240,13 +256,20 @@ def _q_pr_weighted_top20(sf_dir: str):
 
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_w")
-    lay = build_graph(li.map_batches(to_edges, batch_format="pyarrow"), out, 8,
-                      n_vertices=V)
-    eng = PageRankEngine(lay, num_cpus_per_actor=0.25)
-    try:
-        return _top20_df(eng.run(mode="barrier").ranks)
-    finally:
-        eng.shutdown()
+    return build_graph(li.map_batches(to_edges, batch_format="pyarrow"), out, 8,
+                       n_vertices=V)
+
+
+def _q_lg_wdegree(sf_dir: str):
+    """Weighted out-degree table of the weighted derived layout — integer
+    weight sums in float64 are exact, so the DuckDB twin matches
+    bit-for-bit."""
+    import ray.data as rd
+
+    lay = _weighted_layout(sf_dir)
+    df = rd.read_parquet(lay.degrees, columns=["vid", "deg"]).to_pandas()
+    df["deg"] = df["deg"].astype("int64")  # exact integer sums
+    return _i64(df[["vid", "deg"]])
 
 
 def _q_cc_components(sf_dir: str):
@@ -676,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_counts": _q_lg_counts,
         "lg_selfloops": _q_lg_selfloops,
         "lg_top_indegree": _q_lg_top_indegree,
+        "lg_wdegree": _q_lg_wdegree,
         "lg_triangles": _q_lg_triangles,
         # iterative graph algorithms (rows-only; pytest oracles)
         "pr_top20": _q_pr_top20,
@@ -723,6 +747,15 @@ def oracle_sql() -> dict[str, str]:
         "lg_top_indegree": _FULL_E
         + "SELECT dst AS vid, COUNT(*) AS indeg FROM full_e GROUP BY dst "
         "ORDER BY indeg DESC, vid LIMIT 20",
+        "lg_wdegree": f"""
+WITH raw AS ({_WEIGHTED_E}),
+     e AS (SELECT src, dst, SUM(w) AS w FROM raw WHERE src <> dst
+           GROUP BY src, dst),
+     loops AS (SELECT x.range::BIGINT AS v FROM range({V}) x),
+     full_e AS (SELECT src, dst, w FROM e
+                UNION ALL SELECT v, v, 1 FROM loops)
+SELECT src AS vid, CAST(SUM(w) AS BIGINT) AS deg FROM full_e GROUP BY src
+""",
         "lg_triangles": f"""
 WITH raw AS ({_E}),
      und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
