@@ -115,6 +115,14 @@ class CsrPartition:
         # ---- in-CSR (cold edges whose dst is owned) ----
         in_src = np.asarray(in_src, dtype=np.int64)
         in_dst = np.asarray(in_dst, dtype=np.int64)
+        # id-range guard: an undersized n_vertices would silently corrupt
+        # the local-slot bincounts below (the reference's span() invariant,
+        # `src/Graph.hxx:35`)
+        for arr in (in_src, in_dst, hot_src, hot_dst):
+            if len(arr) and int(arr.max()) >= n_vertices:
+                raise ValueError(
+                    f"edge endpoint {int(arr.max())} >= n_vertices {n_vertices}"
+                )
         dl = in_dst // P
         order = np.lexsort((in_src, dl))
         dl = dl[order]
