@@ -43,6 +43,18 @@ _PIECES = "regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]')"
 _STOP = "('the','and','of','to','a','in','is','it')"
 
 
+_AUX_LAYOUT_CACHE: dict[str, Any] = {}
+
+
+def _cached_layout(key: str, builder):
+    """Per-process memo for derived layouts (symmetric / weighted): the
+    driver calls several queries over the same sf_dir — build each layout
+    once (same pattern as pipelines.derived._LAYOUT_CACHE)."""
+    if key not in _AUX_LAYOUT_CACHE:
+        _AUX_LAYOUT_CACHE[key] = builder()
+    return _AUX_LAYOUT_CACHE[key]
+
+
 def _i64(df):
     """Normalize integer columns to int64 for the value-hash compare."""
     import pandas as pd
@@ -256,8 +268,9 @@ def _weighted_layout(sf_dir: str):
 
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_w")
-    return build_graph(li.map_batches(to_edges, batch_format="pyarrow"), out, 8,
-                       n_vertices=V)
+    return _cached_layout(out, lambda: build_graph(
+        li.map_batches(to_edges, batch_format="pyarrow"), out, 8, n_vertices=V
+    ))
 
 
 def _q_lg_wdegree(sf_dir: str):
@@ -284,7 +297,9 @@ def _q_cc_components(sf_dir: str):
 
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_sym")
-    lay = build_symmetric_layout(derived_edges(sf_dir), out, 8, n_vertices=V)
+    lay = _cached_layout(out, lambda: build_symmetric_layout(
+        derived_edges(sf_dir), out, 8, n_vertices=V
+    ))
     eng = LabelEngine(lay, num_cpus_per_actor=0.25)
     res = eng.connected_components()
     eng.shutdown()
@@ -396,7 +411,9 @@ def _q_lp_labels(sf_dir: str):
 
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_sym")
-    lay = build_symmetric_layout(derived_edges(sf_dir), out, 8, n_vertices=V)
+    lay = _cached_layout(out, lambda: build_symmetric_layout(
+        derived_edges(sf_dir), out, 8, n_vertices=V
+    ))
     eng = LabelEngine(lay, num_cpus_per_actor=0.25)
     res = eng.label_propagation()
     eng.shutdown()
@@ -408,15 +425,27 @@ def _q_lp_labels(sf_dir: str):
 def _q_doc_ngram_jaccard(sf_dir: str):
     """Exact word-3-shingle Jaccard pairs (doc_id < 100, j >= 0.02).  The
     engine scores hashed shingles; the SQL twin scores the shingle strings —
-    identical set sizes absent 64-bit collisions, so identical doubles."""
+    identical set sizes absent 64-bit collisions, so identical doubles.
+    Docs with <3 tokens are excluded on BOTH sides (the engine pads them to
+    a synthetic shingle the SQL twin cannot express)."""
+    import re
+
     import pyarrow.compute as pc
 
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
         ngram_jaccard_pairs,
     )
 
+    tok_re = re.compile(r"\S+")
+
     def head(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch["doc_id"], 100))
+        ntok = np.array(
+            [len(tok_re.findall(t)) for t in batch["text"].to_pylist()]
+        )
+        m = pc.and_(
+            pc.less(batch["doc_id"], 100), pa.array(ntok >= 3)
+        )
+        return batch.filter(m)
 
     sub = _docs(sf_dir).map_batches(head, batch_format="pyarrow")
     df = ngram_jaccard_pairs(sub, threshold=0.02).to_pandas()
@@ -828,7 +857,8 @@ QUALIFY rnk <= 3
         "doc_ngram_jaccard": r"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS tok
-  FROM documents WHERE doc_id < 100
+  FROM documents
+  WHERE doc_id < 100 AND len(regexp_extract_all(text, '\S+')) >= 3
 ),
 sh AS (
   SELECT doc_id,

@@ -84,7 +84,10 @@ def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
     """Exact global triangle count of the simple undirected view."""
     und = _undirected_pairs(edges).materialize()
 
-    # undirected degrees (broadcast small side)
+    # undirected degrees: bincount partials + vid%P-keyed shuffle with a
+    # vectorized per-partition sum (the fast plan; no per-vid aggregate)
+    DP = 32
+
     def degp(batch: pa.Table) -> pa.Table:
         both = np.concatenate(
             [
@@ -94,13 +97,21 @@ def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
         ).astype(np.int64)
         vids, counts = np.unique(both, return_counts=True)
         return pa.table(
-            {"vid": pa.array(vids), "deg_part": pa.array(counts.astype(np.int64))}
+            {"vid": pa.array(vids), "deg_part": pa.array(counts.astype(np.int64)),
+             "part": pa.array((vids % DP).astype(np.int32))}
         )
+
+    def sum_part(group: pa.Table) -> pa.Table:
+        v = group["vid"].to_numpy(zero_copy_only=False)
+        c = group["deg_part"].to_numpy(zero_copy_only=False)
+        uv, inv = np.unique(v, return_inverse=True)
+        deg_sum = np.bincount(inv, weights=c, minlength=len(uv)).astype(np.int64)
+        return pa.table({"vid": pa.array(uv), "deg": pa.array(deg_sum)})
 
     degt = (
         und.map_batches(degp, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("deg_part", alias_name="deg"))
+        .groupby("part")
+        .map_groups(sum_part, batch_format="pyarrow")
         .to_pandas()
     )
     deg = np.zeros(n_vertices, dtype=np.int64)

@@ -79,10 +79,16 @@ def apply_batch(
     del_dst: np.ndarray,
     ins_src: np.ndarray,
     ins_dst: np.ndarray,
+    weighted: bool = False,
 ):
     """Edge Dataset -> updated edge Dataset (deletions, insertions,
     re-self-loop, dedup).  The batch is broadcast (it is tiny); the sweep over
     the edge table is one vectorized map_batches — no shuffle for deletions.
+
+    Weighted layouts: a deletion removes the (src, dst) edge entirely
+    (``removeEdge`` semantics regardless of weight); an insertion carries
+    weight 1.0 and SUMS into any surviving duplicate (the weighted-dedup
+    policy).
     """
     import ray
 
@@ -101,16 +107,15 @@ def apply_batch(
 
     import ray.data as rd
 
-    ins = rd.from_arrow(
-        pa.table(
-            {
-                "src": pa.array(ins_src.astype(np.uint64)),
-                "dst": pa.array(ins_dst.astype(np.uint64)),
-            }
-        )
-    )
+    cols = {
+        "src": pa.array(ins_src.astype(np.uint64)),
+        "dst": pa.array(ins_dst.astype(np.uint64)),
+    }
+    if weighted:
+        cols["w"] = pa.array(np.ones(len(ins_src), np.float64))
+    ins = rd.from_arrow(pa.table(cols))
     # union + re-self-loop + dedup (add_self_loops dedups the non-loop part)
-    return add_self_loops(kept.union(ins), n_vertices)
+    return add_self_loops(kept.union(ins), n_vertices, weighted=weighted)
 
 
 def apply_batch_to_layout(
@@ -128,13 +133,13 @@ def apply_batch_to_layout(
 
     import ray.data as rd
 
-    edges = rd.read_parquet(layout.edges_in, columns=["src", "dst"])
+    cols = ["src", "dst", "w"] if layout.weighted else ["src", "dst"]
+    edges = rd.read_parquet(layout.edges_in, columns=cols)
     if layout.n_hot and os.path.isdir(layout.edges_in_hot):
-        edges = edges.union(
-            rd.read_parquet(layout.edges_in_hot, columns=["src", "dst"])
-        )
+        edges = edges.union(rd.read_parquet(layout.edges_in_hot, columns=cols))
     updated = apply_batch(
-        edges, layout.n_vertices, del_src, del_dst, ins_src, ins_dst
+        edges, layout.n_vertices, del_src, del_dst, ins_src, ins_dst,
+        weighted=layout.weighted,
     )
     # add_self_loops already applied; build_graph would re-apply (idempotent);
     # the old layout's split policy carries over — hot vertices are

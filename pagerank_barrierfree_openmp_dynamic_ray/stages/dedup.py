@@ -98,24 +98,31 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(ds, id_col="doc_id"):
-    """(band, key) buckets -> unique candidate pairs (a < b)."""
+def _bucket_pairs(ds, id_col="doc_id", num_partitions: int = 32):
+    """(band, key) buckets -> unique candidate pairs (a < b).  Pair dedup
+    uses the part-tagged plan (hash(a,b)%P shuffle + vectorized distinct),
+    not a per-pair groupby aggregate."""
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
             return pa.table(
-                {"a": pa.array(np.empty(0, np.int64)), "b": pa.array(np.empty(0, np.int64))}
+                {"a": pa.array(np.empty(0, np.int64)),
+                 "b": pa.array(np.empty(0, np.int64)),
+                 "part": pa.array(np.empty(0, np.int32))}
             )
         i, j = np.triu_indices(len(ids), 1)
-        return pa.table({"a": pa.array(ids[i]), "b": pa.array(ids[j])})
+        a, b = ids[i].astype(np.int64), ids[j].astype(np.int64)
+        part = ((a.astype(np.uint64) * np.uint64(1_000_003)
+                 + b.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"a": pa.array(a), "b": pa.array(b), "part": pa.array(part)})
 
     cand = ds.groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
-    return (
-        cand.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
-    )
+
+    def dedup_part(group: pa.Table) -> pa.Table:
+        return group.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    return cand.groupby("part").map_groups(dedup_part, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(docs, threshold: float = 0.7, num_perm: int = 64,

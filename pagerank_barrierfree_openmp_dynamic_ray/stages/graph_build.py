@@ -13,8 +13,9 @@ partials, then a small groupby) -> one shuffle per persistent layout:
   edges_out/part=p  : edges hash-partitioned by src % P  (frontier expansion)
   degrees/part=p    : (vid, deg) by vid % P              (owner-local outdeg)
 plus ``lineage.json`` carrying {n_vertices, n_edges, num_partitions, ...} so a
-restarted job reopens the exact layout (resumable: each part=p dir is written
-once; rebuilds skip directories already present unless overwrite=True).
+restarted job reopens the exact layout (resumable: lineage.json is written
+LAST, so with overwrite=False a completed layout is reused as-is and a
+partial one — crash mid-build — is wiped and rebuilt, never appended into).
 
 Ownership is modular: vertex v belongs to partition v % P with local slot
 v // P — O(1) arithmetic, the distributed analogue of the reference's
@@ -47,23 +48,35 @@ BROADCAST_VERTEX_LIMIT = 20_000_000
 # vertex table / id assignment
 # ---------------------------------------------------------------------------
 
-def vertex_table(edge_urls):
+def vertex_table(edge_urls, num_partitions: int = 32):
     """Distinct urls over src+dst -> (url, vid) with dense sorted-url vids.
 
     Mirrors the reference's key remap (``src/csr.hxx:40-51``) but computed as
-    Ray shuffles: per-batch Arrow distinct -> global groupby distinct ->
-    sort + zip_with_index.  Returns (vertices_ds, n_vertices).
+    Ray shuffles: per-batch Arrow distinct combiner -> ONE
+    hash(url)%P-keyed shuffle with a per-partition distinct (process-stable
+    polars xxhash; the per-key groupby aggregate is the measured-slow plan)
+    -> sort + zip_with_index.  Returns (vertices_ds, n_vertices).
     """
+    import polars as pl
 
     def both_cols(batch: pa.Table) -> pa.Table:
         u = pa.concat_arrays(
             [batch["src_url"].combine_chunks(), batch["dst_url"].combine_chunks()]
         )
-        t = pa.table({"url": u})
-        return t.group_by(["url"]).aggregate([])  # per-batch distinct combiner
+        t = pa.table({"url": u}).group_by(["url"]).aggregate([])
+        h = pl.from_arrow(t["url"]).hash(seed=42).to_numpy()
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+        )
 
-    urls = edge_urls.map_batches(both_cols, batch_format="pyarrow")
-    distinct = urls.groupby("url").aggregate(Count(alias_name="_n")).select_columns(["url"])
+    def dedup_part(group: pa.Table) -> pa.Table:
+        return group.select(["url"]).group_by(["url"]).aggregate([])
+
+    distinct = (
+        edge_urls.map_batches(both_cols, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+    )
     return sorted_zip_with_index(distinct, "url", "vid")
 
 
@@ -424,7 +437,13 @@ def build_graph(
     split is what keeps the contribution shuffle balanced (SURVEY §4 skew
     row).
     """
-    if overwrite and os.path.isdir(out_dir):
+    if os.path.isdir(out_dir):
+        if not overwrite:
+            # resume semantics: a COMPLETE layout (lineage.json is written
+            # last) is returned as-is; a partial one (crash mid-build) is
+            # rebuilt from scratch — never append into existing part= dirs
+            if os.path.isfile(os.path.join(out_dir, "lineage.json")):
+                return GraphLayout.load(out_dir)
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 

@@ -40,6 +40,10 @@ def topk_cosine(embeddings, queries: np.ndarray, k: int = 10, dtype=np.float32):
     qref = ray.put(qn)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks occur after filters/sorts
+            return pa.table({"qid": pa.array(np.empty(0, np.int64)),
+                             "vec_id": pa.array(np.empty(0, np.int64)),
+                             "score": pa.array(np.empty(0, np.float64))})
         q = ray.get(qref)
         ids, emb = _batch_matrix(batch, q.dtype)
         sims = _normalize(emb) @ q.T  # (B, Q)
@@ -108,6 +112,10 @@ def lsh_topk(embeddings, queries: np.ndarray, k: int = 10, bits: int = 6,
     qref = ray.put((q, probe))
 
     def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array(np.empty(0, np.int64)),
+                             "vec_id": pa.array(np.empty(0, np.int64)),
+                             "embedding": batch["embedding"]})
         ids, emb = _batch_matrix(batch)
         codes = lsh.codes(_normalize(emb))
         return pa.table(
@@ -195,6 +203,10 @@ def ivf_topk(embeddings, queries: np.ndarray, k: int = 10,
     cref = ray.put(cents)
 
     def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array(np.empty(0, np.int64)),
+                             "vec_id": pa.array(np.empty(0, np.int64)),
+                             "embedding": batch["embedding"]})
         c = ray.get(cref)
         ids, emb = _batch_matrix(batch)
         bucket = np.argmax(_normalize(emb) @ c.T, axis=1).astype(np.int64)
@@ -250,6 +262,10 @@ def near_dup_cosine_lsh(embeddings, tau: float = 0.95, bits: int = 8,
     lsh = HyperplaneLsh(dim, bits, seed)
 
     def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array(np.empty(0, np.int64)),
+                             "vec_id": pa.array(np.empty(0, np.int64)),
+                             "embedding": batch["embedding"]})
         ids, emb = _batch_matrix(batch)
         codes = lsh.codes(_normalize(emb))
         # replicate each row into its own bucket + all hamming-1 buckets
@@ -298,6 +314,10 @@ def near_dup_cosine(embeddings, tau: float = 0.95, dtype=np.float32):
     ref = ray.put((all_ids, allm))
 
     def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array(np.empty(0, np.int64)),
+                             "b": pa.array(np.empty(0, np.int64)),
+                             "cosine": pa.array(np.empty(0, np.float64))})
         ids_all, m_all = ray.get(ref)
         ids, emb = _batch_matrix(batch, dtype)
         sims = _normalize(emb) @ m_all.T  # (B, N)

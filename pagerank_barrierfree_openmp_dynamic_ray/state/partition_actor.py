@@ -280,7 +280,11 @@ class CsrPartitionActor:
                 self.vaff[arr] = True
             refs = [shard_refs[p] for p in csr.needed_parts]
             if any(r is None for r in refs):
-                # a peer has not published yet; use own view where missing
+                # a peer has not published its first shard yet: treat its
+                # contributions as zero for this sweep.  Safe under the
+                # barrier-free staleness argument (a too-small partial sum
+                # only delays the fixed point); the gap closes at the next
+                # board sync
                 shards = [
                     ray.get(r) if r is not None else np.zeros(
                         CsrPartition.owned_count(csr.n_vertices, int(p), csr.num_partitions)
@@ -347,7 +351,9 @@ class CsrPartitionActor:
         cvals = np.concatenate([sh[need] for sh, need in zip(shards, self.csr.needs)]) \
             if shards else np.empty(0, np.int64)
         nl = cvals[self.csr.in_src_pos]
-        d = self.csr.in_dst_local
+        # int64 BEFORE the multiply: in_dst_local is int32 and numpy 1.x
+        # value-based casting would wrap the product for n_vertices >~ 131k
+        d = self.csr.in_dst_local.astype(np.int64)
         n = self.csr.n_vertices
         key = d * np.int64(n + 1) + nl
         uniq, cnt = np.unique(key, return_counts=True)

@@ -107,3 +107,24 @@ def test_triangles_shuffle_plan_matches_broadcast(ray_session):
     want = oracle.triangle_count(src, dst, n)
     assert triangle_count(ds, n) == want
     assert triangle_count(ds, n, broadcast_edge_limit=0) == want
+
+
+def test_label_propagation_large_id_space(ray_session, tmp_path):
+    """Regression: lp_step's (vertex, label) key packing must be int64 —
+    with int32 local slots and n_vertices > ~131k/P the product wrapped
+    silently (numpy 1.x value-based casting)."""
+    n = 150_000
+    # a small clique among high-id vertices; everything else isolated
+    hi = np.array([n - 1, n - 2, n - 3, n - 7], dtype=np.int64)
+    src = np.repeat(hi, len(hi))
+    dst = np.tile(hi, len(hi))
+    lay = build_symmetric_layout(
+        _ds(src, dst), str(tmp_path / "big"), 3, n_vertices=n
+    )
+    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
+    res = eng.label_propagation(max_iter=8)
+    eng.shutdown()
+    # clique converges to one label; isolated vertices keep their own
+    assert len(set(res.labels[hi].tolist())) == 1
+    others = np.setdiff1d(np.arange(n), hi)[:1000]
+    np.testing.assert_array_equal(res.labels[others], others)

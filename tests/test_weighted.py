@@ -140,3 +140,34 @@ def test_weighted_hot_split(ray_session, tmp_path):
         assert np.allclose(res.ranks, want, atol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_weighted_dynamic_batch(wlayout, tmp_path):
+    """Dynamic batches preserve weights: deletions drop pairs whole,
+    insertions carry w=1 and sum into survivors; warm-started PageRank on
+    the updated weighted layout matches the weighted oracle."""
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
+        apply_batch_to_layout,
+        generate_batch,
+        layout_edge_arrays,
+    )
+
+    lay, *_ = wlayout
+    s0, d0 = layout_edge_arrays(lay)
+    ds_, dd_, is_, id_ = generate_batch(s0, d0, N, batch_size=15, seed=9)
+    new = apply_batch_to_layout(lay, str(tmp_path / "wupd"), ds_, dd_, is_, id_)
+    assert new.weighted
+    s1, d1, w1 = _layout_weighted_arrays(new)
+    # deleted pairs absent unless re-inserted or self-loops
+    inserted = set(zip(is_.tolist(), id_.tolist()))
+    pairs = set(zip(s1.tolist(), d1.tolist()))
+    for u, v in zip(ds_.tolist(), dd_.tolist()):
+        if u != v and (u, v) not in inserted:
+            assert (u, v) not in pairs
+    want, _ = pagerank_power(s1, d1, N, tol=1e-12, w=w1)
+    eng = PageRankEngine(new, num_cpus_per_actor=0.25)
+    try:
+        res = eng.run(mode="barrier", tol=1e-10)
+        assert np.allclose(res.ranks, want, atol=1e-6)
+    finally:
+        eng.shutdown()
