@@ -297,7 +297,13 @@ def out_weighted_degrees(edges, num_partitions: int = DEDUP_PARTITIONS):
 
 def transpose(edges):
     """Reverse every edge — ``transposeOmp`` (``src/transpose.hxx:28-44``).
-    A pure column rename: zero shuffle, zero copy."""
+    A pure column rename: zero shuffle, zero copy.  Weight columns ride
+    along unchanged."""
+    cols = edges.schema().names
+    if "w" in cols:
+        return edges.select_columns(["dst", "src", "w"]).rename_columns(
+            {"dst": "src", "src": "dst"}
+        )
     return edges.select_columns(["dst", "src"]).rename_columns(
         {"dst": "src", "src": "dst"}
     )

@@ -171,3 +171,15 @@ def test_weighted_dynamic_batch(wlayout, tmp_path):
         assert np.allclose(res.ranks, want, atol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_transpose_preserves_weights(ray_session):
+    got = (
+        gb.transpose(_wds([1, 2], [3, 4], [5.0, 6.0]))
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    assert got["src"].tolist() == [3, 4]
+    assert got["dst"].tolist() == [1, 2]
+    assert got["w"].tolist() == [5.0, 6.0]
