@@ -22,6 +22,59 @@ def token_hash64(tok: str) -> int:
     return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def stable_hash_strings(arr) -> np.ndarray:
+    """Vectorized, environment-stable 64-bit hash of a pyarrow string array
+    (polynomial over the utf-8 bytes, wrapping uint64 arithmetic).
+
+    Used wherever a hash decides PARTITION ASSIGNMENT: the value must be
+    identical across processes, nodes and library versions, or the same key
+    can land in two partitions and survive a per-partition distinct twice
+    (silent corruption).  polars/``hash()`` documents its output as unstable
+    across versions, so it is never used for partitioning.
+    """
+    import pyarrow as pa
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(a)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(a.type) else np.int32
+    offsets = np.frombuffer(a.buffers()[1], dtype=off_dtype)[
+        a.offset: a.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    starts, ends = offsets[:-1], offsets[1:]
+    lengths = ends - starts
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    nz = lengths > 0
+    if not nz.any():
+        return out
+    base = int(starts[nz][0])
+    b = data[base: int(ends[-1])].astype(np.uint64)
+    s_nz, l_nz = starts[nz] - base, lengths[nz]
+    # position-within-string powers: h(s) = sum b[i] * PRIME^i  (mod 2^64)
+    maxlen = int(l_nz.max())
+    powers = np.ones(maxlen, np.uint64)
+    if maxlen > 1:
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(
+                np.full(maxlen - 1, _FNV_PRIME, np.uint64), out=powers[1:]
+            )
+    # offsets are contiguous, so the nonzero segments' bytes are exactly
+    # ``b`` in order; segment i starts at cum_prev[i] within the stream
+    cum_prev = np.cumsum(l_nz) - l_nz
+    pos = np.arange(int(l_nz.sum()), dtype=np.int64) - np.repeat(cum_prev, l_nz)
+    with np.errstate(over="ignore"):
+        contrib = b * powers[pos]
+        sums = np.add.reduceat(contrib, cum_prev)
+        out[nz] = (sums * _FNV_PRIME) ^ l_nz.astype(np.uint64)
+    return out
+
+
 class TokenHashCache:
     """Memoized token -> 64-bit hash map (bounded).  Real-corpus token
     frequencies are Zipf-distributed, so a per-actor cache removes the

@@ -265,6 +265,12 @@ class PageRankEngine:
         if checkpoint_dir and checkpoint_every:
             ck = os.path.join(checkpoint_dir, "async")
             os.makedirs(ck, exist_ok=True)
+            # lineage is written UP FRONT so a mid-run crash (the scenario
+            # async checkpoints exist for) leaves a resumable dir: resume
+            # only needs variant/graph identity, not the final iteration
+            # count, which is refreshed after completion (ADVICE r01)
+            write_lineage(ck, 0, float("nan"), "barrierfree", variant,
+                          self.layout.path, self.P, self.n)
         board = RankBoard.remote(self.P)
         futs = [
             a.run_async.remote(

@@ -53,18 +53,20 @@ def vertex_table(edge_urls, num_partitions: int = 32):
 
     Mirrors the reference's key remap (``src/csr.hxx:40-51``) but computed as
     Ray shuffles: per-batch Arrow distinct combiner -> ONE
-    hash(url)%P-keyed shuffle with a per-partition distinct (process-stable
-    polars xxhash; the per-key groupby aggregate is the measured-slow plan)
-    -> sort + zip_with_index.  Returns (vertices_ds, n_vertices).
+    hash(url)%P-keyed shuffle with a per-partition distinct (version-stable
+    byte-polynomial hash — partition assignment must be identical on every
+    worker regardless of library build, or a url could survive the distinct
+    twice and get two vids) -> sort + zip_with_index.
+    Returns (vertices_ds, n_vertices).
     """
-    import polars as pl
+    from ..functions.hashing import stable_hash_strings
 
     def both_cols(batch: pa.Table) -> pa.Table:
         u = pa.concat_arrays(
             [batch["src_url"].combine_chunks(), batch["dst_url"].combine_chunks()]
         )
         t = pa.table({"url": u}).group_by(["url"]).aggregate([])
-        h = pl.from_arrow(t["url"]).hash(seed=42).to_numpy()
+        h = stable_hash_strings(t["url"])
         return t.append_column(
             "part", pa.array((h % np.uint64(num_partitions)).astype(np.int32))
         )
@@ -186,9 +188,11 @@ def dedup_edges_weighted(edges, num_partitions: int = DEDUP_PARTITIONS):
     P = np.uint64(num_partitions)
 
     def combine(batch: pa.Table) -> pa.Table:
+        # select-by-NAME before the positional rename: pyarrow's aggregate
+        # column order has differed across versions (ADVICE r01)
         t = batch.select(["src", "dst", "w"]).group_by(["src", "dst"]).aggregate(
             [("w", "sum")]
-        ).rename_columns(["src", "dst", "w"])
+        ).select(["src", "dst", "w_sum"]).rename_columns(["src", "dst", "w"])
         s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
         d = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
         part = ((s * np.uint64(1_000_003) + d) % P).astype(np.int32)
@@ -197,7 +201,7 @@ def dedup_edges_weighted(edges, num_partitions: int = DEDUP_PARTITIONS):
     def sum_part(group: pa.Table) -> pa.Table:
         t = group.select(["src", "dst", "w"]).group_by(["src", "dst"]).aggregate(
             [("w", "sum")]
-        ).rename_columns(["src", "dst", "w"])
+        ).select(["src", "dst", "w_sum"]).rename_columns(["src", "dst", "w"])
         return t.cast(pa.schema(
             [("src", pa.uint64()), ("dst", pa.uint64()), ("w", pa.float64())]
         ))
@@ -446,10 +450,20 @@ def build_graph(
     if os.path.isdir(out_dir):
         if not overwrite:
             # resume semantics: a COMPLETE layout (lineage.json is written
-            # last) is returned as-is; a partial one (crash mid-build) is
-            # rebuilt from scratch — never append into existing part= dirs
+            # last) is returned as-is — but only if its recorded build
+            # parameters match the request (a caller changing P / the hot
+            # threshold / weightedness at the same path must get a rebuild,
+            # not the stale configuration; ADVICE r01).  A partial layout
+            # (crash mid-build) is rebuilt from scratch — never appended to.
             if os.path.isfile(os.path.join(out_dir, "lineage.json")):
-                return GraphLayout.load(out_dir)
+                existing = GraphLayout.load(out_dir)
+                if (
+                    existing.num_partitions == num_partitions
+                    and existing.hot_in_threshold == hot_in_threshold
+                    and existing.weighted == ("w" in (edges.schema().names or []))
+                    and (n_vertices is None or existing.n_vertices == int(n_vertices))
+                ):
+                    return existing
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 

@@ -28,7 +28,15 @@ def broadcast_map(small, key: str, value: str):
     pdf = small.select_columns([key, value]).to_pandas()
     k = pdf[key].to_numpy()
     order = np.argsort(k, kind="stable")
-    return ray.put((k[order], pdf[value].to_numpy()[order]))
+    ks = k[order]
+    # the probe's searchsorted returns ONE match per key: a duplicate build
+    # key would silently drop join multiplicity (ADVICE r01) — refuse it
+    if len(ks) > 1 and (ks[1:] == ks[:-1]).any():
+        raise ValueError(
+            f"broadcast_join build side has duplicate keys in {key!r}; "
+            "the broadcast plan requires a key-unique build side"
+        )
+    return ray.put((ks, pdf[value].to_numpy()[order]))
 
 
 def probe(keys: np.ndarray, ref_tuple) -> np.ndarray:

@@ -396,7 +396,13 @@ class CsrPartitionActor:
 
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(path, f"part-{self.pid}.parquet"))
+        f = os.path.join(path, f"part-{self.pid}.parquet")
+        if not os.path.isfile(f):
+            # barrier-less checkpoints: a partition that crashed before its
+            # first write has no slice — resuming it from the initial ranks
+            # is valid barrier-free state (stale = merely behind)
+            return
+        t = pq.read_table(f)
         vid = t["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
         slot = vid // self.csr.num_partitions
         self.r[slot] = t["rank"].to_numpy(zero_copy_only=False)
