@@ -266,3 +266,43 @@ def test_near_dup_cosine_lsh_planted(ray_session):
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"recall {recall:.2f}"
     assert a <= e  # within-bucket verification is exact -> no false pairs
+
+
+def test_dedup_verify_is_distributed(dup_docs, monkeypatch):
+    """Regression guard for the round-1 scale finding: pipeline CONSTRUCTION
+    must not collect any corpus-wide store on the driver (the old code called
+    to_pandas()/take_all() on the shingle/signature tables while building the
+    plan).  Collection is only legal on the final small result."""
+    import ray.data
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side materialization during plan build")
+
+    with monkeypatch.context() as m:
+        m.setattr(ray.data.Dataset, "to_pandas", boom)
+        m.setattr(ray.data.Dataset, "take_all", boom)
+        mh = dedup.minhash_lsh_pairs(dup_docs, threshold=0.5)
+        sh = dedup.simhash_pairs(dup_docs, max_hamming=8)
+    # execute after unpatching: results themselves are small and collectable
+    mh_pairs = {(r["a"], r["b"]) for r in mh.take_all()}
+    assert (0, 1) in mh_pairs  # the exact dup pair survives the join verify
+    sh_pairs = {(r["a"], r["b"]) for r in sh.take_all()}
+    assert (0, 1) in sh_pairs
+
+
+def test_bucket_cap_bounds_degenerate_buckets(ray_session):
+    """1k identical docs share every (band, key) bucket: without the cap a
+    single map_groups task emits ~500k pairs; with it the candidate count is
+    bounded by MAX_BUCKET^2/2 and the duplicate cluster is still found."""
+    import ray.data as rd
+
+    n = 1000
+    docs = rd.from_items(
+        [{"doc_id": i, "text": "identical boilerplate text " * 8} for i in range(n)]
+    )
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.9).take_all()
+    cap = dedup.MAX_BUCKET
+    assert 0 < len(out) <= cap * (cap - 1) // 2
+    members = {r["a"] for r in out} | {r["b"] for r in out}
+    assert len(members) == cap  # sampled members form one connected cluster
+    assert all(r["jaccard"] == 1.0 for r in out)
