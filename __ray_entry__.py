@@ -292,13 +292,13 @@ def _q_cc_components(sf_dir: str):
 
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
         LabelEngine,
-        build_symmetric_layout,
+        symmetric_layout_from,
     )
 
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_sym")
-    lay = _cached_layout(out, lambda: build_symmetric_layout(
-        derived_edges(sf_dir), out, 8, n_vertices=V
+    lay = _cached_layout(out, lambda: symmetric_layout_from(
+        derived_layout(sf_dir), out
     ))
     eng = LabelEngine(lay, num_cpus_per_actor=0.25)
     res = eng.connected_components()
@@ -406,13 +406,13 @@ def _q_lp_labels(sf_dir: str):
 
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
         LabelEngine,
-        build_symmetric_layout,
+        symmetric_layout_from,
     )
 
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_sym")
-    lay = _cached_layout(out, lambda: build_symmetric_layout(
-        derived_edges(sf_dir), out, 8, n_vertices=V
+    lay = _cached_layout(out, lambda: symmetric_layout_from(
+        derived_layout(sf_dir), out
     ))
     eng = LabelEngine(lay, num_cpus_per_actor=0.25)
     res = eng.label_propagation()

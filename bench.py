@@ -57,7 +57,7 @@ def run_bench() -> dict:
     )
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
         LabelEngine,
-        build_symmetric_layout,
+        symmetric_layout_from,
     )
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.derived import (
         V,
@@ -133,9 +133,7 @@ def run_bench() -> dict:
     eng2.shutdown()
 
     t0 = time.perf_counter()
-    sym = build_symmetric_layout(
-        derived_edges(SF), os.path.join(WORK, "sym"), P, n_vertices=V
-    )
+    sym = symmetric_layout_from(layout, os.path.join(WORK, "sym"))
     leng = LabelEngine(sym, num_cpus_per_actor=max(1, (NCPU - 2) // P))
     leng.connected_components()
     leng.shutdown()

@@ -25,9 +25,96 @@ from ..stages.graph_build import GraphLayout, build_graph, transpose
 def build_symmetric_layout(edges, out_dir: str, num_partitions: int,
                            n_vertices: int | None = None) -> GraphLayout:
     """edges ∪ reversed(edges) -> deduped self-looped layout (the MTX
-    symmetric-mirror path, `src/mtx.hxx:72-73,138-139`)."""
+    symmetric-mirror path, `src/mtx.hxx:72-73,138-139`).  Use
+    :func:`symmetric_layout_from` when a built layout already exists — it
+    symmetrizes per partition with ZERO shuffles."""
     sym = edges.union(transpose(edges))
     return build_graph(sym, out_dir, num_partitions, n_vertices=n_vertices)
+
+
+def _symmetrize_part(layout_path: str, out_dir: str, p: int, span: int) -> int:
+    """One partition of :func:`symmetric_layout_from`: the symmetric in-edge
+    set of partition p is exactly edges_in/part=p ∪ reverse(edges_out/part=p)
+    (both already keyed so the result lands on dst%P==p), deduped locally.
+    By symmetry the out-edge table of p is the SAME rows with the columns
+    swapped, and out-degrees are the per-dst counts — no data ever leaves
+    the partition.  Returns the partition's edge count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def read(sub):
+        d = os.path.join(layout_path, sub, f"part={p}")
+        if not os.path.isdir(d):
+            return (np.empty(0, np.uint64),) * 2
+        t = pq.read_table(d, columns=["src", "dst"])
+        return (
+            t["src"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+
+    si, di = read("edges_in")
+    so, do = read("edges_out")
+    sp = np.uint64(span)
+    keys = np.unique(
+        np.concatenate([si * sp + di, do * sp + so])  # reversed out-edges
+    )
+    s, d = keys // sp, keys % sp
+
+    def write(sub, tab):
+        out = os.path.join(out_dir, sub, f"part={p}")
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(tab, os.path.join(out, "data.parquet"))
+
+    write("edges_in", pa.table({"src": pa.array(s), "dst": pa.array(d)}))
+    write("edges_out", pa.table({"src": pa.array(d), "dst": pa.array(s)}))
+    vids, counts = np.unique(d, return_counts=True)
+    write("degrees", pa.table({"vid": pa.array(vids),
+                               "deg": pa.array(counts.astype(np.int64))}))
+    return len(keys)
+
+
+def symmetric_layout_from(layout: GraphLayout, out_dir: str) -> GraphLayout:
+    """Symmetrize an EXISTING layout without re-running the graph build.
+
+    The naive path (``build_symmetric_layout`` over raw edges) pays a full
+    dedup shuffle plus three partitioned writes — a second graph build just
+    to add reverse edges.  But a built layout already holds every edge
+    partitioned BOTH ways (edges_in by dst, edges_out by src), so the
+    symmetric edge set of each partition is a purely local merge: zero
+    shuffles, one parallel task per partition.  Self-loops carry over from
+    the base layout (it has one per vertex).  Hot-split layouts fall back
+    to the shuffle path (their in-edges are sharded by src)."""
+    import os
+    import shutil
+
+    if layout.n_hot:
+        import ray.data as rd
+
+        cols = ["src", "dst"]
+        edges = rd.read_parquet(layout.edges_in, columns=cols).union(
+            rd.read_parquet(layout.edges_in_hot, columns=cols)
+        )
+        return build_symmetric_layout(
+            edges, out_dir, layout.num_partitions, n_vertices=layout.n_vertices
+        )
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    task = ray.remote(_symmetrize_part)
+    counts = ray.get(
+        [
+            task.remote(layout.path, out_dir, p, layout.n_vertices)
+            for p in range(layout.num_partitions)
+        ]
+    )
+    sym = GraphLayout(
+        out_dir, layout.n_vertices, int(sum(counts)), layout.num_partitions,
+        0, None, False,
+    )
+    sym.save()
+    return sym
 
 
 @dataclass

@@ -128,3 +128,46 @@ def test_label_propagation_large_id_space(ray_session, tmp_path):
     assert len(set(res.labels[hi].tolist())) == 1
     others = np.setdiff1d(np.arange(n), hi)[:1000]
     np.testing.assert_array_equal(res.labels[others], others)
+
+
+def test_symmetric_layout_from_matches_shuffle_path(ray_session, tmp_path):
+    """The zero-shuffle per-partition symmetrization must produce the same
+    edge set, degrees, and CC labels as the full build over edges∪reverse."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
+        symmetric_layout_from,
+    )
+
+    rng = np.random.default_rng(17)
+    n, m = 200, 1200
+    src = rng.integers(0, n, m).astype(np.uint64)
+    dst = rng.integers(0, n, m).astype(np.uint64)
+    base = gb.build_graph(_ds(src, dst), str(tmp_path / "base"), 3, n_vertices=n)
+    fast = symmetric_layout_from(base, str(tmp_path / "fast"))
+    slow = build_symmetric_layout(_ds(src, dst), str(tmp_path / "slow"), 3,
+                                  n_vertices=n)
+    assert fast.n_edges == slow.n_edges
+
+    def read_pairs(lay, sub):
+        t = pq.read_table(os.path.join(lay.path, sub), columns=["src", "dst"])
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return sorted(zip(s.tolist(), d.tolist()))
+
+    for sub in ("edges_in", "edges_out"):
+        assert read_pairs(fast, sub) == read_pairs(slow, sub)
+
+    def read_degs(lay):
+        t = pq.read_table(os.path.join(lay.path, "degrees"))
+        return sorted(zip(t["vid"].to_numpy(zero_copy_only=False).tolist(),
+                          t["deg"].to_numpy(zero_copy_only=False).tolist()))
+
+    assert read_degs(fast) == read_degs(slow)
+
+    e1 = LabelEngine(fast, num_cpus_per_actor=0.25)
+    r1 = e1.connected_components(); e1.shutdown()
+    want = oracle.connected_components(src, dst, n)
+    np.testing.assert_array_equal(r1.labels, want)

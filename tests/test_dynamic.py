@@ -208,3 +208,59 @@ def test_barrierfree_async_checkpoint_resume(new_engine, oracle_new, tmp_path):
     assert meta["mode"] == "barrierfree"
     res = new_engine.run(mode="barrierfree", resume_from=async_dir)
     np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+
+
+def _layout_tables(layout):
+    """(edges_in pairs/weights, edges_out pairs, degrees) fully sorted."""
+    import pyarrow.parquet as pq
+
+    def read_sorted(sub, cols):
+        t = pq.read_table(os.path.join(layout.path, sub), columns=cols)
+        arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
+        order = np.lexsort(arrs[::-1])
+        return [a[order] for a in arrs]
+
+    ecols = ["src", "dst", "w"] if layout.weighted else ["src", "dst"]
+    return (
+        read_sorted("edges_in", ecols),
+        read_sorted("edges_out", ecols),
+        read_sorted("degrees", ["vid", "deg"]),
+    )
+
+
+def test_incremental_matches_full_rebuild(dyn):
+    """The incremental per-partition rewrite must produce byte-equal edge and
+    degree tables to the full rebuild path (the reference's in-place delta,
+    `src/Graph.hxx:343-360`)."""
+    old, new, (ds_, dd_, is_, id_), root = dyn
+    full = apply_batch_to_layout(
+        old, str(root / "full"), ds_, dd_, is_, id_, incremental=False
+    )
+    assert new.n_edges == full.n_edges
+    for got, want in zip(_layout_tables(new), _layout_tables(full)):
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+
+def test_incremental_matches_full_rebuild_weighted(ray_session, tmp_path):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n, m = 120, 900
+    src = rng.integers(0, n, m).astype(np.uint64)
+    dst = rng.integers(0, n, m).astype(np.uint64)
+    w = rng.uniform(0.5, 2.0, m)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                                 "w": pa.array(w)}))
+    old = gb.build_graph(ds, str(tmp_path / "old"), num_partitions=3, n_vertices=n)
+    assert old.weighted
+    s0, d0 = layout_edge_arrays(old)
+    dels_s, dels_d, ins_s, ins_d = generate_batch(s0, d0, n, batch_size=20, seed=9)
+    inc = apply_batch_to_layout(old, str(tmp_path / "inc"), dels_s, dels_d,
+                                ins_s, ins_d)
+    full = apply_batch_to_layout(old, str(tmp_path / "full"), dels_s, dels_d,
+                                 ins_s, ins_d, incremental=False)
+    assert inc.n_edges == full.n_edges
+    for got, want in zip(_layout_tables(inc), _layout_tables(full)):
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(g, w_)
