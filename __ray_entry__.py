@@ -95,6 +95,35 @@ def _q_lg_selfloops(sf_dir: str):
     return pd.DataFrame({"n_selfloops": [int(n)]})
 
 
+def _q_mtx_roundtrip(sf_dir: str):
+    """MatrixMarket interchange (`src/mtx.hxx:33-180`): the derived deduped
+    graph is written to .mtx and read back; the row reports the round-trip
+    edge/vertex counts (read-back count == layout count proves the parse).
+    Rows-only: the DuckDB views cannot read .mtx."""
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.sources.mtx import (
+        read_mtx,
+        write_mtx,
+    )
+
+    lay = derived_layout(sf_dir)
+    edges = rd.read_parquet(lay.edges_in, columns=["src", "dst"])
+    p = os.path.join(tempfile.gettempdir(), "graft_layouts",
+                     os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+                     + ".mtx")
+    write_mtx(edges, p, lay.n_vertices, n_edges=lay.n_edges)
+    back, nv = read_mtx(p)
+    return pd.DataFrame({
+        "n_vertices": [int(nv)],
+        "n_edges_written": [int(lay.n_edges)],
+        "n_edges_read": [int(back.count())],
+    })
+
+
 def _q_lg_top_indegree(sf_dir: str):
     import ray.data as rd
 
@@ -149,11 +178,34 @@ def _top20_df(ranks: np.ndarray):
 
 
 def _q_pr_top20(sf_dir: str):
+    """Static PageRank consumed DATASET-NATIVELY end to end: the run never
+    materializes the dense |V| rank vector on the driver
+    (``run(collect=False)``); the top-20 comes from the per-partition rank
+    checkpoint via ``rank_topk`` (partial top-k combiner + one small sort) —
+    the consumption shape that survives |V| > one machine."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.state.checkpoint import (
+        latest_checkpoint,
+        rank_topk,
+    )
+
     eng = _pr_engine(sf_dir)
+    ck = tempfile.mkdtemp(prefix="graft_pr_ck_")
     try:
-        return _top20_df(eng.run(mode="barrier").ranks)
+        res = eng.run(mode="barrier", checkpoint_dir=ck, collect=False)
+        assert res.ranks is None  # nothing dense ever reached the driver
+        top = rank_topk(latest_checkpoint(ck), k=20).to_pandas()
+        return pd.DataFrame({
+            "vid": top["vid"].astype("int64"),
+            "rank": np.round(top["rank"].to_numpy(), 12),
+        })
     finally:
         eng.shutdown()
+        shutil.rmtree(ck, ignore_errors=True)
 
 
 def _q_pr_barrierfree_top20(sf_dir: str):
@@ -212,6 +264,32 @@ def _q_pr_hot_split_top20(sf_dir: str):
     eng = PageRankEngine(lay, num_cpus_per_actor=0.25)
     try:
         return _top20_df(eng.run(mode="barrier").ranks)
+    finally:
+        eng.shutdown()
+
+
+def _q_pr_dead_top20(sf_dir: str):
+    """DEAD-mode (teleport) static PageRank on a NO-self-loop layout
+    (``pagerankTeleport``, `src/pagerank.hxx:157-184`): dead-end rank mass
+    is redistributed uniformly each iteration instead of being retained by
+    the self-loop trick.  Rows-only; engine-vs-numpy-teleport-oracle match
+    is pinned in tests/test_pagerank.py."""
+    import tempfile
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        PageRankEngine,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import build_graph
+
+    out = os.path.join(tempfile.gettempdir(), "graft_layouts",
+                       os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+                       + "_noloop")
+    lay = _cached_layout(out, lambda: build_graph(
+        derived_edges(sf_dir), out, 8, n_vertices=V, add_loops=False
+    ))
+    eng = PageRankEngine(lay, num_cpus_per_actor=0.25)
+    try:
+        return _top20_df(eng.run(mode="barrier", dead=True).ranks)
     finally:
         eng.shutdown()
 
@@ -727,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_degree": _q_lg_degree,
         "lg_counts": _q_lg_counts,
         "lg_selfloops": _q_lg_selfloops,
+        "mtx_roundtrip": _q_mtx_roundtrip,
         "lg_top_indegree": _q_lg_top_indegree,
         "lg_wdegree": _q_lg_wdegree,
         "lg_triangles": _q_lg_triangles,
@@ -735,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_barrierfree_top20": _q_pr_barrierfree_top20,
         "pr_dynamic_frontier_top20": _q_pr_dynamic_frontier_top20,
         "pr_hot_split_top20": _q_pr_hot_split_top20,
+        "pr_dead_top20": _q_pr_dead_top20,
         "pr_weighted_top20": _q_pr_weighted_top20,
         "cc_components": _q_cc_components,
         "lp_labels": _q_lp_labels,

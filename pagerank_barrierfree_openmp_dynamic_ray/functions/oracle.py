@@ -19,13 +19,19 @@ def pagerank_power(
     max_iter: int = 500,
     init: np.ndarray | None = None,
     w: np.ndarray | None = None,
+    dead: bool = False,
 ) -> tuple[np.ndarray, int]:
     """Synchronous pull PageRank, exactly ``pagerankBasicSeqLoop``
     (``src/pagerankBasic.hxx:36-50``): a[v] = C0 + P * sum_{(u,v)} r[u]/d[u],
     C0 = (1-P)/N (self-loop trick, ``main.cxx:240``), L-inf residual.
 
-    Edges must already include self-loops; every vertex 0..n-1 exists.
-    Returns (ranks, iterations).
+    ``dead=True`` is the teleport oracle (``pagerankTeleport``,
+    `src/pagerank.hxx:157-184`): dead-end mass is redistributed uniformly
+    each iteration, C0_t = (1-P)/N + P * sum_{deg(u)=0} r[u] / N — the
+    textbook treatment for a graph WITHOUT the self-loop trick.
+
+    Edges must already include self-loops unless ``dead``; every vertex
+    0..n-1 exists.  Returns (ranks, iterations).
     """
     if w is None:
         deg = np.bincount(src, minlength=n).astype(np.float64)
@@ -34,12 +40,14 @@ def pagerank_power(
         deg = np.bincount(src, weights=w, minlength=n)
     r = np.full(n, 1.0 / n) if init is None else init.astype(np.float64).copy()
     c0 = (1.0 - damping) / n
+    dead_v = deg == 0
     it = 0
     while it < max_iter:
         contrib = r[src] / deg[src]
         if w is not None:
             contrib = contrib * w
-        a = c0 + damping * np.bincount(dst, weights=contrib, minlength=n)
+        c0_t = c0 + damping * r[dead_v].sum() / n if dead else c0
+        a = c0_t + damping * np.bincount(dst, weights=contrib, minlength=n)
         it += 1
         err = np.abs(a - r).max()
         r = a

@@ -130,12 +130,6 @@ class LabelEngine:
     def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0):
         from ..state.partition_actor import CsrPartitionActor
 
-        if layout.n_hot:
-            raise ValueError(
-                "LabelEngine requires a layout without hot-vertex splitting "
-                "(build with hot_in_threshold=None); the min/mode combine "
-                "for split vertices is not implemented"
-            )
         self.layout = layout
         self.P = layout.num_partitions
         self.n = layout.n_vertices
@@ -152,14 +146,48 @@ class LabelEngine:
             ray.kill(a)
         self.actors = []
 
+    def _combine_hot(self, parts, kind: str) -> np.ndarray:
+        """Driver combine of the per-partition hot-vertex label partials
+        (tiny: n_hot-sized).  ``min``: elementwise minimum.  ``mode``: sum
+        the (slot, label) histograms, then pick per slot the label with the
+        highest count, ties -> smallest label (the lp_step tie rule)."""
+        if kind == "min":
+            return np.minimum.reduce(parts)
+        n1 = np.int64(self.n + 1)
+        allk = np.concatenate([p[0] for p in parts])
+        allc = np.concatenate([p[1] for p in parts])
+        uniq, inv = np.unique(allk, return_inverse=True)
+        cnt = np.bincount(inv, weights=allc, minlength=len(uniq)).astype(np.int64)
+        slot, labl = uniq // n1, uniq % n1
+        order = np.lexsort((labl, -cnt, slot))
+        s_o = slot[order]
+        first = np.concatenate([[True], s_o[1:] != s_o[:-1]])
+        modes = np.zeros(self.layout.n_hot, dtype=np.int64)
+        modes[s_o[first]] = labl[order][first]  # every hot slot has >=1 edge
+        return modes
+
     def _iterate(self, step_name: str, max_iter: int) -> LabelResult:
         t0 = time.perf_counter()
         ray.get([a.init_labels.remote() for a in self.actors])
         shard_refs = [a.label_shard.remote() for a in self.actors]
+        hot_on = self.layout.n_hot > 0
+        kind = "min" if step_name == "cc_step" else "mode"
         iters = 0
         while iters < max_iter:
+            hot_vals = None
+            if hot_on:
+                # phase A (skew split): every partition returns its shard's
+                # label partial for each hot vertex; the driver combines the
+                # tiny vectors and phase B reuses the cached label gather
+                parts = ray.get(
+                    [a.label_hot_partial_step.remote(shard_refs, kind)
+                     for a in self.actors]
+                )
+                hot_vals = self._combine_hot(parts, kind)
             futs = [
-                getattr(a, step_name).options(num_returns=2).remote(shard_refs)
+                getattr(a, step_name).options(num_returns=2).remote(
+                    None if hot_on else shard_refs, hot_vals
+                )
                 for a in self.actors
             ]
             shard_refs = [f[0] for f in futs]

@@ -68,6 +68,7 @@ class PageRankEngine:
         self.layout = layout
         self.P = layout.num_partitions
         self.n = layout.n_vertices
+        self._num_cpus = num_cpus_per_actor
         self.actors = [
             CsrPartitionActor.options(num_cpus=num_cpus_per_actor).remote(
                 layout.path, pid
@@ -75,6 +76,31 @@ class PageRankEngine:
             for pid in range(self.P)
         ]
         self.owned = ray.get([a.ready.remote() for a in self.actors])
+
+    def _rebuild_actor(self, pid: int, frontier_on: bool,
+                       checkpoint_dir: str | None) -> None:
+        """Crash recovery (`main.cxx:156-169` crash-stop model): a dead
+        partition actor is recreated from the persistent layout; its ranks
+        come from the newest checkpoint when one exists, else restart at
+        1/N.  In frontier mode without a checkpoint, ALL owned slots are
+        re-marked affected (a monotone superset — lost flags can only be
+        over-approximated safely)."""
+        from ..state.checkpoint import latest_checkpoint
+        from ..state.csr import CsrPartition
+
+        a = CsrPartitionActor.options(num_cpus=self._num_cpus).remote(
+            self.layout.path, pid
+        )
+        ray.get(a.ready.remote())
+        ray.get(a.init_ranks.remote(None))
+        ray.get(a.set_frontier_mode.remote(frontier_on))
+        ck = latest_checkpoint(checkpoint_dir) if checkpoint_dir else None
+        if ck is not None:
+            ray.get(a.load_checkpoint.remote(ck))
+        elif frontier_on:
+            n_owned = CsrPartition.owned_count(self.n, pid, self.P)
+            ray.get(a.mark_affected.remote(np.arange(n_owned, dtype=np.int64)))
+        self.actors[pid] = a
 
     def shutdown(self) -> None:
         for a in self.actors:
@@ -135,7 +161,22 @@ class PageRankEngine:
         fault=None,
         resume_from: str | None = None,
         norm: str = "linf",
+        dead: bool = False,
+        collect: bool = True,
     ) -> PageRankResult:
+        """``dead=True`` enables the teleport treatment of dead ends
+        (``pagerankTeleport``, `src/pagerank.hxx:157-184`; barrier-free
+        nowait variant `src/pagerankBarrierfree.hxx:30-43`): each iteration
+        redistributes Σ_{deg(u)=0} r[u] uniformly via C0 instead of relying
+        on the self-loop trick — use on layouts built with
+        ``add_loops=False``.  Frontier mode is incompatible (a moving C0
+        touches every vertex each sweep).
+
+        ``collect=False`` skips materializing the dense |V| rank vector on
+        the driver (``result.ranks is None``); consume the ranks
+        Dataset-natively instead via ``checkpoint_dir`` +
+        ``state.checkpoint.ranks_dataset``/``rank_topk`` — the required
+        shape once |V| outgrows one machine."""
         variant = (
             "frontier" if frontier is not None else ("naive" if q is not None else "static")
         )
@@ -145,6 +186,10 @@ class PageRankEngine:
         c0 = (1.0 - damping) / self.n
         frontier_on = frontier is not None or variant == "frontier"
         frontier_d = 0.001 * tol if frontier_on else None
+        if dead and frontier_on:
+            raise ValueError("dead (teleport) mode is incompatible with the "
+                             "dynamic frontier: a moving C0 re-ranks every "
+                             "vertex each sweep")
 
         t0 = time.perf_counter()
         self._swept_vertices = None  # set by the superstep loop
@@ -160,6 +205,7 @@ class PageRankEngine:
             iters, residual = self._run_superstep(
                 c0, damping, tol, max_iter, frontier_d,
                 checkpoint_dir, checkpoint_every, variant, norm, fault,
+                dead=dead,
             )
         elif mode == "barrierfree":
             if norm != "linf":
@@ -168,12 +214,12 @@ class PageRankEngine:
                 raise ValueError("barrier-free mode supports only norm='linf'")
             iters, residual = self._run_barrierfree(
                 c0, damping, tol, max_iter, frontier_d, fault,
-                checkpoint_dir, checkpoint_every, variant,
+                checkpoint_dir, checkpoint_every, variant, dead=dead,
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
-        ranks = self.collect_ranks()
+        ranks = self.collect_ranks() if collect else None
         wall = time.perf_counter() - t0
         if checkpoint_dir:
             self.checkpoint(checkpoint_dir, iters, residual, mode, variant)
@@ -193,6 +239,7 @@ class PageRankEngine:
     def _run_superstep(
         self, c0, damping, tol, max_iter, frontier_d,
         checkpoint_dir, checkpoint_every, variant, norm="linf", fault=None,
+        dead=False,
     ):
         """With-barrier loop (`src/pagerankBasic.hxx:53-68`): double-buffered
         shards, one global residual reduce per iteration.  ``norm``: the
@@ -203,7 +250,15 @@ class PageRankEngine:
         iters, residual = 0, float("inf")
         self._swept_vertices = 0  # total vertex-sweeps (frontier-savings meter)
         fd = frontier_d
+        # DEAD mode: the teleport C0 folds the previous iteration's dead-end
+        # mass (initially from the scattered/warm ranks); partials ride back
+        # on each step's stats so no extra round-trip is ever paid
+        dead_total = (
+            sum(ray.get([a.dead_mass.remote() for a in self.actors]))
+            if dead else 0.0
+        )
         while iters < max_iter:
+            c0_t = c0 + damping * dead_total / self.n if dead else c0
             hot_sums = None
             if hot_on:
                 # phase A (skew split): every partition gathers + returns its
@@ -215,7 +270,7 @@ class PageRankEngine:
                 hot_sums = np.sum(parts, axis=0)
             futs = [
                 a.step.options(num_returns=2).remote(
-                    None if hot_on else shard_refs, c0, damping, tol, fd,
+                    None if hot_on else shard_refs, c0_t, damping, tol, fd,
                     hot_sums,
                     fault if fault and p in fault.get("pids", range(self.P))
                     else None,
@@ -223,8 +278,40 @@ class PageRankEngine:
                 for p, a in enumerate(self.actors)
             ]
             shard_refs = [f[0] for f in futs]
-            stats = ray.get([f[1] for f in futs])
+            if fault and fault.get("crash_at") is not None:
+                # crash-stop path: fetch stats per actor so one death does
+                # not poison the barrier; rebuild and REDO the iteration
+                # (survivors' extra sweep is harmless — power iteration
+                # converges from any perturbed state)
+                stats, died = [], []
+                for p, f in enumerate(futs):
+                    try:
+                        stats.append(ray.get(f[1]))
+                    except ray.exceptions.RayActorError:
+                        died.append(p)
+                if died:
+                    fault = dict(fault)
+                    fault["pids"] = set(fault.get("pids", range(self.P))) - set(died)
+                    # survivors swept this iteration: their frontier marks
+                    # must not be lost across the redo
+                    for s in stats:
+                        for p, arr in s["marks"].items():
+                            self.actors[p].mark_affected.remote(arr)
+                    for p in died:
+                        self._rebuild_actor(p, frontier_d is not None,
+                                            checkpoint_dir)
+                    # dead actors' shard returns died with them — refresh all
+                    shard_refs = [a.shard.remote() for a in self.actors]
+                    if dead:
+                        dead_total = sum(
+                            ray.get([a.dead_mass.remote() for a in self.actors])
+                        )
+                    continue
+            else:
+                stats = ray.get([f[1] for f in futs])
             iters += 1
+            if dead:
+                dead_total = sum(s["dead"] for s in stats)
             self._swept_vertices += sum(s["n_active"] for s in stats)
             if norm == "l1":
                 residual = sum(s["l1"] for s in stats)
@@ -255,7 +342,7 @@ class PageRankEngine:
 
     def _run_barrierfree(self, c0, damping, tol, max_iter, frontier_d, fault,
                          checkpoint_dir=None, checkpoint_every=0,
-                         variant="static"):
+                         variant="static", dead=False):
         """Barrier-free: every actor loops independently against the board;
         the driver only awaits completion (no per-iteration ray.get barrier).
         Checkpoints are barrier-less too: each actor persists its own slice
@@ -276,7 +363,7 @@ class PageRankEngine:
             a.run_async.remote(
                 board, c0, damping, tol, frontier_d, max_iter,
                 fault if fault and p in fault.get("pids", range(self.P)) else None,
-                ck, checkpoint_every,
+                ck, checkpoint_every, dead,
             )
             for p, a in enumerate(self.actors)
         ]

@@ -161,12 +161,59 @@ def lsh_topk(embeddings, queries: np.ndarray, k: int = 10, bits: int = 6,
     return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
 
 
+def kmeans_centroids_distributed(embeddings, n_centroids: int,
+                                 iters: int = 10) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus — the IVF codebook
+    scale path.  Each round broadcasts the k×d centroid matrix once
+    (``ray.put``), every batch emits per-centroid (sum-vector, count)
+    partials, and the driver folds the tiny partials into new centroids.
+    Only k×d floats ever exist on the driver; the corpus streams.
+    Deterministic: seeded by the first k corpus rows, fixed iteration count.
+    """
+    pdf0 = embeddings.limit(n_centroids).to_pandas()
+    c = _normalize(np.vstack(pdf0["embedding"].to_numpy()).astype(np.float32))
+    k, d = c.shape
+    corpus = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    for _ in range(iters):
+        cref = ray.put(c)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"cid": pa.array(np.empty(0, np.int64)),
+                                 "cnt": pa.array(np.empty(0, np.int64)),
+                                 "vec": pa.array([], pa.binary())})
+            cents = ray.get(cref)
+            _, emb = _batch_matrix(batch)
+            m = _normalize(emb)
+            assign = np.argmax(m @ cents.T, axis=1)
+            sums = np.zeros((len(cents), m.shape[1]), np.float64)
+            np.add.at(sums, assign, m.astype(np.float64))
+            cnt = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "cid": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(cnt[nz]),
+                "vec": pa.array([sums[i].tobytes() for i in nz], pa.binary()),
+            })
+
+        folded = corpus.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, d), np.float64)
+        cnts = np.zeros(k, np.int64)
+        for cid, cnt, vec in zip(folded["cid"], folded["cnt"], folded["vec"]):
+            sums[int(cid)] += np.frombuffer(vec, np.float64)
+            cnts[int(cid)] += int(cnt)
+        nz = cnts > 0
+        c = c.astype(np.float64)
+        c[nz] = sums[nz] / cnts[nz, None]  # empty clusters keep old centroid
+        c = _normalize(c).astype(np.float32)
+    return c
+
+
 def kmeans_centroids(m: np.ndarray, n_centroids: int, iters: int = 10,
                      seed: int = 42) -> np.ndarray:
     """Seeded Lloyd's k-means on (normalized) vectors — the IVF codebook.
-    Driver-side over a SAMPLE of the corpus (sandbox scale); the scale path
-    is a distributed k-means|| over map_batches partial assignments with the
-    same output contract."""
+    Driver-side over a SAMPLE of the corpus;
+    :func:`kmeans_centroids_distributed` is the default full-corpus path."""
     rng = np.random.default_rng(seed)
     m = _normalize(np.asarray(m, np.float32))
     c = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
@@ -182,17 +229,25 @@ def kmeans_centroids(m: np.ndarray, n_centroids: int, iters: int = 10,
 
 def ivf_topk(embeddings, queries: np.ndarray, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
-             train_sample: int = 4096, seed: int = 42):
+             train_sample: int = 4096, seed: int = 42,
+             train: str = "distributed"):
     """IVF approximate top-k: corpus bucketed by nearest k-means centroid
     (ONE groupby); each query probes its ``nprobe`` nearest centroid buckets.
     Same downstream shape as :func:`lsh_topk`; per-query work drops from
     O(N) to ~O(N * nprobe / n_centroids).  Recall measured vs brute force in
-    tests."""
+    tests.
+
+    ``train="distributed"`` (default) trains the codebook with full-corpus
+    map_batches partial sums (:func:`kmeans_centroids_distributed`);
+    ``"sample"`` trains driver-side on the first ``train_sample`` rows."""
     q = _normalize(np.asarray(queries, np.float32))
-    train = np.vstack(
-        embeddings.limit(train_sample).to_pandas()["embedding"].to_numpy()
-    ).astype(np.float32)
-    cents = kmeans_centroids(train, n_centroids, seed=seed)
+    if train == "distributed":
+        cents = kmeans_centroids_distributed(embeddings, n_centroids)
+    else:
+        tr = np.vstack(
+            embeddings.limit(train_sample).to_pandas()["embedding"].to_numpy()
+        ).astype(np.float32)
+        cents = kmeans_centroids(tr, n_centroids, seed=seed)
     # probe map: bucket -> list of query indices probing it
     probe: dict[int, list[int]] = {}
     order = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]

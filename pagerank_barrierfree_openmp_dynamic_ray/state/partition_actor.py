@@ -49,7 +49,16 @@ class RankBoard:
         self.iterations = np.zeros(num_partitions, dtype=np.int64)
         self.inbox: list[list] = [[] for _ in range(num_partitions)]
         self.hot_partials: dict[int, np.ndarray] = {}
+        self.dead_partials: dict[int, float] = {}
         self.stopped = False
+
+    def dead_exchange(self, pid: int, mass: float) -> float:
+        """Barrier-free DEAD-mode combine (`src/pagerankBarrierfree.hxx:30-43`
+        nowait teleport rank sum): publish this partition's freshest owned
+        dead-end rank mass, get back the global sum over every partition's
+        freshest (stale partials tolerated — same fixed-point argument)."""
+        self.dead_partials[pid] = float(mass)
+        return float(sum(self.dead_partials.values()))
 
     def hot_exchange(self, pid: int, partial: np.ndarray) -> np.ndarray:
         """Barrier-free hot-vertex combine: publish this partition's freshest
@@ -104,6 +113,8 @@ class CsrPartitionActor:
         self.vaff = np.zeros(n, dtype=bool)  # frontier flags (monotone)
         self.conv = np.zeros(n, dtype=bool)  # barrier-free converged flags
         self.frontier_mode = False
+        self._dead_mask = self.csr.outdeg == 0  # DEAD-mode teleport set
+        self._step_count = 0  # local superstep counter (crash injection)
 
     # -------------------------------------------------- initialization
     def ready(self) -> int:
@@ -117,6 +128,7 @@ class CsrPartitionActor:
         else:
             self.r[:] = q
         self.conv[:] = False
+        self._step_count = 0  # crash_at counts iterations of the CURRENT run
 
     def set_frontier_mode(self, on: bool) -> None:
         """on=False -> every vertex affected every sweep (static/naive);
@@ -153,6 +165,12 @@ class CsrPartitionActor:
 
     def affected_flags(self) -> np.ndarray:
         return self.vaff
+
+    def dead_mass(self) -> float:
+        """Owned dead-end rank mass Σ_{deg(v)=0} r[v] (the per-partition
+        partial of ``pagerankTeleport``'s teleport sum,
+        `src/pagerank.hxx:163-169`)."""
+        return float(self.r[self._dead_mask].sum())
 
     # -------------------------------------------------- superstep protocol
     def _sweep(self, cvals, c0, damping, tol, frontier_d, hot_sums=None):
@@ -216,14 +234,24 @@ class CsrPartitionActor:
         partition's previous-iteration contribution shard; fetches only the
         partitions in the gather plan (``None`` -> reuse the contributions
         cached by ``hot_partial_step``).  Returns (new_shard, stats).
-        ``fault``: sleep injection (`main.cxx:137-153` model) — under a
-        barrier a sleeping partition stalls EVERY partition's iteration,
-        which is exactly the effect the barrier-free mode removes."""
-        if fault and fault.get("sleep_prob"):
-            if not hasattr(self, "_fault_rng"):
-                self._fault_rng = np.random.default_rng([self.pid, 987])
-            if self._fault_rng.random() < fault["sleep_prob"]:
-                time.sleep(fault.get("sleep_s", 0.05))
+        ``fault``: sleep/crash injection (`main.cxx:137-169` model) — under
+        a barrier a sleeping partition stalls EVERY partition's iteration,
+        which is exactly the effect the barrier-free mode removes;
+        ``crash_at`` terminates the ACTOR (crash-stop) so the driver sees a
+        RayActorError and must rebuild — the with-barrier recovery twin of
+        ``run_async``'s crashed flag."""
+        if fault:
+            if (
+                fault.get("crash_at") is not None
+                and self._step_count >= fault["crash_at"]
+            ):
+                ray.actor.exit_actor()
+            if fault.get("sleep_prob"):
+                if not hasattr(self, "_fault_rng"):
+                    self._fault_rng = np.random.default_rng([self.pid, 987])
+                if self._fault_rng.random() < fault["sleep_prob"]:
+                    time.sleep(fault.get("sleep_s", 0.05))
+        self._step_count += 1
         if shard_refs is None:
             cvals = self._cvals
         else:
@@ -238,6 +266,10 @@ class CsrPartitionActor:
             "marks": marks,
             "n_active": n_active,
             "n_owned": self.csr.n_owned,
+            # post-sweep dead-end mass: the driver folds the P partials into
+            # the NEXT iteration's teleport C0 (DEAD mode; zero when the
+            # layout has self-loops, so always cheap to report)
+            "dead": float(self.r[self._dead_mask].sum()),
         }
         return self.shard(), stats
 
@@ -253,6 +285,7 @@ class CsrPartitionActor:
         fault=None,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 0,
+        dead: bool = False,
     ) -> dict:
         """Barrier-free local loop (`src/pagerankBarrierfree.hxx:213-235`).
 
@@ -301,7 +334,14 @@ class CsrPartitionActor:
                 hot_sums = ray.get(
                     board.hot_exchange.remote(self.pid, csr.hot_partial(cvals))
                 )
-            linf, marks, _ = self._sweep(cvals, c0, damping, tol, frontier_d, hot_sums)
+            c0_t = c0
+            if dead:
+                # nowait teleport: own freshest dead mass out, global sum in
+                total = ray.get(
+                    board.dead_exchange.remote(self.pid, self.dead_mass())
+                )
+                c0_t = c0 + damping * total / csr.n_vertices
+            linf, marks, _ = self._sweep(cvals, c0_t, damping, tol, frontier_d, hot_sums)
             it += 1
             if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
                 # barrier-less checkpoint: each partition persists its OWN
@@ -331,25 +371,55 @@ class CsrPartitionActor:
     def label_shard(self) -> np.ndarray:
         return self.lab
 
-    def cc_step(self, shard_refs):
-        """Min-label propagation sweep: lab[v] = min(lab[v], min over
-        neighbors) (SURVEY §2.12).  Returns (new_shard, n_changed)."""
+    def _label_cvals(self, shard_refs) -> np.ndarray:
+        """Gathered neighbor labels (``None`` -> reuse the ones cached by
+        ``label_hot_partial_step`` — the hot-split phase-A/B contract)."""
+        if shard_refs is None:
+            return self._lab_cvals
         shards = ray.get([shard_refs[p] for p in self.csr.needed_parts])
-        cvals = np.concatenate([sh[need] for sh, need in zip(shards, self.csr.needs)]) \
-            if shards else np.empty(0, np.int64)
+        return np.concatenate(
+            [sh[need] for sh, need in zip(shards, self.csr.needs)]
+        ) if shards else np.empty(0, np.int64)
+
+    def label_hot_partial_step(self, shard_refs, kind: str):
+        """Phase A of a hot-split label sweep: gather this iteration's
+        neighbor labels (cached for phase B) and return this partition's
+        partial for every GLOBAL hot vertex — ``min`` of shard labels (CC)
+        or (slot*(n+1)+label, count) histograms (LP mode) — the same
+        partial/combine structure as PageRank's ``hot_partial_step``."""
+        csr = self.csr
+        self._lab_cvals = self._label_cvals(shard_refs)
+        hl = self._lab_cvals[csr.hot_src_pos]
+        if kind == "min":
+            part = np.full(csr.n_hot, csr.n_vertices, dtype=np.int64)
+            np.minimum.at(part, csr.hot_slot, hl)
+            return part
+        key = csr.hot_slot.astype(np.int64) * np.int64(csr.n_vertices + 1) + hl
+        uniq, cnt = np.unique(key, return_counts=True)
+        return uniq, cnt.astype(np.int64)
+
+    def cc_step(self, shard_refs, hot_vals: np.ndarray | None = None):
+        """Min-label propagation sweep: lab[v] = min(lab[v], min over
+        neighbors) (SURVEY §2.12).  ``hot_vals``: combined min per global
+        hot vertex (hot-split layouts; a hot vertex's in-edges live only in
+        the src-sharded store, so its owner applies the combined value).
+        Returns (new_shard, n_changed)."""
+        cvals = self._label_cvals(shard_refs)
         new = self.lab.copy()
         np.minimum.at(new, self.csr.in_dst_local, cvals[self.csr.in_src_pos])
+        if hot_vals is not None and len(self.csr.own_hot_slots):
+            sl = self.csr.own_hot_slots
+            new[sl] = np.minimum(new[sl], hot_vals[self.csr.own_hot_idx])
         changed = int((new != self.lab).sum())
         self.lab = new
         return self.lab, changed
 
-    def lp_step(self, shard_refs):
+    def lp_step(self, shard_refs, hot_vals: np.ndarray | None = None):
         """Synchronous label propagation sweep: most frequent neighbor label,
         ties -> smallest label (deterministic; self counts once via the
-        self-loop).  Returns (new_shard, n_changed)."""
-        shards = ray.get([shard_refs[p] for p in self.csr.needed_parts])
-        cvals = np.concatenate([sh[need] for sh, need in zip(shards, self.csr.needs)]) \
-            if shards else np.empty(0, np.int64)
+        self-loop).  ``hot_vals``: driver-combined mode label per global hot
+        vertex (hot-split layouts).  Returns (new_shard, n_changed)."""
+        cvals = self._label_cvals(shard_refs)
         nl = cvals[self.csr.in_src_pos]
         # int64 BEFORE the multiply: in_dst_local is int32 and numpy 1.x
         # value-based casting would wrap the product for n_vertices >~ 131k
@@ -364,6 +434,10 @@ class CsrPartitionActor:
         first = np.concatenate([[True], kv_o[1:] != kv_o[:-1]])
         new = self.lab.copy()
         new[kv_o[first]] = kl[order][first]
+        if hot_vals is not None and len(self.csr.own_hot_slots):
+            # hot vertices have no cold in-edges: their mode comes entirely
+            # from the driver-combined histograms
+            new[self.csr.own_hot_slots] = hot_vals[self.csr.own_hot_idx]
         changed = int((new != self.lab).sum())
         self.lab = new
         return self.lab, changed

@@ -171,3 +171,36 @@ def test_symmetric_layout_from_matches_shuffle_path(ray_session, tmp_path):
     r1 = e1.connected_components(); e1.shutdown()
     want = oracle.connected_components(src, dst, n)
     np.testing.assert_array_equal(r1.labels, want)
+
+
+def test_cc_lp_on_hot_split_layout(ray_session, tmp_path):
+    """CC and LP on a layout built WITH hot-vertex splitting: the split
+    vertices' min/mode must combine across the src-sharded partials and
+    match both the non-split run and the oracles."""
+    import os
+
+    rng = np.random.default_rng(29)
+    n = 250
+    src = rng.integers(0, n, 900)
+    dst = rng.integers(0, n, 900)
+    # a celebrity vertex guarantees hot members at a low threshold
+    src = np.concatenate([src, rng.integers(0, n, 120)])
+    dst = np.concatenate([dst, np.full(120, 7)])
+    sym = np.vstack([np.stack([src, dst], 1), np.stack([dst, src], 1)])
+    hot_lay = gb.build_graph(_ds(sym[:, 0], sym[:, 1]), str(tmp_path / "hot"),
+                             num_partitions=3, n_vertices=n, hot_in_threshold=12)
+    assert hot_lay.n_hot > 0
+    flat_lay = build_symmetric_layout(_ds(src, dst), str(tmp_path / "flat"), 3,
+                                      n_vertices=n)
+    e_hot = LabelEngine(hot_lay, num_cpus_per_actor=0.25)
+    e_flat = LabelEngine(flat_lay, num_cpus_per_actor=0.25)
+    try:
+        cc_hot = e_hot.connected_components()
+        np.testing.assert_array_equal(
+            cc_hot.labels, oracle.connected_components(src, dst, n))
+        lp_hot = e_hot.label_propagation(max_iter=15)
+        lp_flat = e_flat.label_propagation(max_iter=15)
+        np.testing.assert_array_equal(lp_hot.labels, lp_flat.labels)
+    finally:
+        e_hot.shutdown()
+        e_flat.shutdown()

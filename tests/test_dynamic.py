@@ -264,3 +264,23 @@ def test_incremental_matches_full_rebuild_weighted(ray_session, tmp_path):
     for got, want in zip(_layout_tables(inc), _layout_tables(full)):
         for g, w_ in zip(got, want):
             np.testing.assert_allclose(g, w_)
+
+
+def test_barrier_crash_stop_recovers(dyn, oracle_new, tmp_path):
+    """With-barrier twin of test_barrierfree_crash_stop_bounded
+    (`main.cxx:156-169`): a partition actor crash-stops mid-run via fault
+    injection; the driver detects the dead barrier participant, rebuilds it
+    from the layout (+ checkpoint when one exists), and the run still reaches
+    the fixed point."""
+    _, new, _, _ = dyn
+    eng = PageRankEngine(new, num_cpus_per_actor=0.25)
+    try:
+        res = eng.run(mode="barrier", fault={"crash_at": 2, "pids": {1}})
+        np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+        # with checkpointing: recovery restores from the checkpoint slice
+        ck = str(tmp_path / "ckc")
+        res2 = eng.run(mode="barrier", fault={"crash_at": 3, "pids": {2}},
+                       checkpoint_dir=ck, checkpoint_every=2)
+        np.testing.assert_allclose(res2.ranks, oracle_new, atol=1e-6)
+    finally:
+        eng.shutdown()

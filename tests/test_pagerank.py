@@ -115,3 +115,47 @@ def test_top_k(random_engine):
     top = res.top_k(5)
     assert len(top) == 5
     assert top[0][1] == res.ranks.max()
+
+
+@pytest.fixture(scope="module")
+def dead_layout(ray_session, tmp_path_factory):
+    """No-self-loop layout with genuine dead ends (vertices 0..49 have no
+    out-edges): the `pagerankTeleport` scenario (`src/pagerank.hxx:157-184`)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    n, m = 300, 1800
+    src = rng.integers(50, n, m).astype(np.uint64)  # 0..49 never emit
+    dst = rng.integers(0, n, m).astype(np.uint64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    lay = gb.build_graph(ds, str(tmp_path_factory.mktemp("dead") / "g"),
+                         num_partitions=3, n_vertices=n, add_loops=False)
+    return lay
+
+
+def test_dead_mode_matches_teleport_oracle(dead_layout):
+    s, d = _layout_arrays(dead_layout)
+    want, _ = pagerank_power(s, d, dead_layout.n_vertices, dead=True)
+    eng = PageRankEngine(dead_layout, num_cpus_per_actor=0.25)
+    try:
+        res = eng.run(mode="barrier", dead=True)
+        np.testing.assert_allclose(res.ranks, want, atol=1e-6)
+        assert abs(res.ranks.sum() - 1.0) < 1e-6  # teleport conserves mass
+        bf = eng.run(mode="barrierfree", dead=True)
+        np.testing.assert_allclose(bf.ranks, want, atol=1e-6)
+    finally:
+        eng.shutdown()
+
+
+def test_dead_mode_rejects_frontier(dead_layout):
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import Frontier
+
+    eng = PageRankEngine(dead_layout, num_cpus_per_actor=0.25)
+    try:
+        with pytest.raises(ValueError, match="frontier"):
+            eng.run(mode="barrier", dead=True,
+                    frontier=Frontier(old_layout=dead_layout,
+                                      del_src=np.array([1]),
+                                      ins_src=np.array([2])))
+    finally:
+        eng.shutdown()

@@ -306,3 +306,31 @@ def test_bucket_cap_bounds_degenerate_buckets(ray_session):
     members = {r["a"] for r in out} | {r["b"] for r in out}
     assert len(members) == cap  # sampled members form one connected cluster
     assert all(r["jaccard"] == 1.0 for r in out)
+
+
+def test_distributed_kmeans_recall_at_10x(ray_session):
+    """The distributed codebook (map_batches partial sums, no corpus on the
+    driver) keeps IVF recall@5 >= 0.8 at 10x the fixture's vector count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((12, 24)).astype(np.float32) * 4
+    n = 3000
+    cid = rng.integers(0, 12, n)
+    vecs = centers[cid] + rng.standard_normal((n, 24)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })).repartition(8)
+    queries = vecs[:6] + 0.01
+    exact = similarity.topk_cosine(ds, queries, k=5).to_pandas()
+    approx = similarity.ivf_topk(ds, queries, k=5, n_centroids=12, nprobe=4,
+                                 train="distributed").to_pandas()
+    hits = tot = 0
+    for qi in range(len(queries)):
+        want = set(exact[exact["qid"] == qi]["vec_id"])
+        got = set(approx[approx["qid"] == qi]["vec_id"])
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.8, f"recall {hits/tot:.2f}"
