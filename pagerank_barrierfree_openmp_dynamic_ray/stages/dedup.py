@@ -111,7 +111,7 @@ class MinHashStage:
 
 
 def _bucket_pairs(ds, id_col="doc_id", num_partitions: int = 32,
-                  max_bucket: int = MAX_BUCKET):
+                  max_bucket: int = MAX_BUCKET, dedup: bool = True):
     """(band, key) buckets -> unique candidate pairs (a < b).  Pair dedup
     uses the part-tagged plan (hash(a,b)%P shuffle + vectorized distinct),
     not a per-pair groupby aggregate.
@@ -120,34 +120,83 @@ def _bucket_pairs(ds, id_col="doc_id", num_partitions: int = 32,
     are capped: only a deterministic ``max_bucket``-member sample emits
     pairs, so one degenerate bucket can never produce an O(b^2) task.  The
     sample keeps every duplicate CLUSTER discoverable (all sampled members
-    pair with each other); dropped candidates are logged."""
+    pair with each other); dropped candidates are logged.
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+    Shuffle plan: (band, key) rows are tagged ``hash(band,key) % P`` and
+    bucketed with ONE ``groupby(part)`` — a direct per-(band,key) groupby
+    would pay Python per-group overhead for ~#docs×bands mostly-singleton
+    groups (the repo's measured map_groups trap).  Inside a part, buckets
+    are contiguous runs of a lexsort; only runs of >= 2 members (the rare
+    near-dup buckets) do any work."""
+    P = np.uint64(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((band * np.uint64(0x9E3779B97F4A7C15) + key) % P).astype(np.int32)
+        return pa.table({
+            "band": pa.array(band),
+            "key": pa.array(key),
+            id_col: batch[id_col],
+            "part": pa.array(part),
+        })
+
+    def pairs_part(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = group["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, key, band))
+        band, key, ids = band[order], key[order], ids[order]
+        newrun = np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+        )
+        starts = np.flatnonzero(newrun)
+        ends = np.append(starts[1:], len(ids))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            u = np.unique(ids[s:e])
+            if len(u) < 2:
+                continue
+            if len(u) > max_bucket:
+                # deterministic stride sample over the sorted member list —
+                # stable across runs/processes, no RNG state
+                n_drop = (len(u) * (len(u) - 1)) // 2 - \
+                         (max_bucket * (max_bucket - 1)) // 2
+                logger.warning(
+                    "dedup bucket cap: (band,key) bucket of %d members "
+                    "sampled to %d; ~%d candidate pairs dropped", len(u),
+                    max_bucket, n_drop,
+                )
+                u = u[np.linspace(0, len(u) - 1, max_bucket).astype(np.int64)]
+            i, j = np.triu_indices(len(u), 1)
+            out_a.append(u[i])
+            out_b.append(u[j])
+        if not out_a:
             return pa.table(
                 {"a": pa.array(np.empty(0, np.int64)),
                  "b": pa.array(np.empty(0, np.int64)),
                  "part": pa.array(np.empty(0, np.int32))}
             )
-        if len(ids) > max_bucket:
-            # deterministic stride sample over the sorted member list —
-            # stable across runs/processes, no RNG state
-            n_drop = (len(ids) * (len(ids) - 1)) // 2 - \
-                     (max_bucket * (max_bucket - 1)) // 2
-            logger.warning(
-                "dedup bucket cap: (band,key) bucket of %d members sampled "
-                "to %d; ~%d candidate pairs dropped", len(ids), max_bucket,
-                n_drop,
-            )
-            ids = ids[np.linspace(0, len(ids) - 1, max_bucket).astype(np.int64)]
-        i, j = np.triu_indices(len(ids), 1)
-        a, b = ids[i].astype(np.int64), ids[j].astype(np.int64)
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         part = ((a.astype(np.uint64) * np.uint64(1_000_003)
-                 + b.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+                 + b.astype(np.uint64)) % P).astype(np.int32)
         return pa.table({"a": pa.array(a), "b": pa.array(b), "part": pa.array(part)})
 
-    cand = ds.groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
+    cand = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pyarrow")
+    )
+    if not dedup:
+        # caller dedups downstream (e.g. inside the first lookup join,
+        # where all copies of (a, b) meet in the a%P group) — saves a
+        # whole shuffle round; cross-band duplicates are bounded by the
+        # band count
+        return cand
 
     def dedup_part(group: pa.Table) -> pa.Table:
         return group.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
@@ -155,64 +204,91 @@ def _bucket_pairs(ds, id_col="doc_id", num_partitions: int = 32,
     return cand.groupby("part").map_groups(dedup_part, batch_format="pyarrow")
 
 
-def _lookup_join(cand, side_ds, pair_col: str, value_col: str, out_col: str,
-                 keep: dict[str, pa.DataType], value_type: pa.DataType,
-                 num_partitions: int = 32):
-    """Distributed lookup join: attach ``side_ds[value_col]`` (keyed by
-    ``doc_id``) to every candidate-pair row on ``pair_col``, keeping
-    ``keep`` columns.  Both sides are tagged ``key % P`` and co-located by
-    ONE ``groupby(part)`` with a vectorized searchsorted resolve inside —
-    the repo's measured-fast shuffle plan.  Deliberately NOT
-    ``Dataset.join``: its hash-shuffle aggregator actors reserve a CPU per
-    partition, and two joins in one DAG deadlock small sessions (observed)
-    while burning actor slots at scale.  Nothing materializes driver-side.
-    """
-    P = np.uint64(num_partitions)
-    cols_order = list(keep) + ["__key", "__val", "__side", "part"]
-
-    def tag_pairs(batch: pa.Table) -> pa.Table:
-        k = batch[pair_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        # unchecked casts: uint64 payloads (simhash sigs) must keep their
-        # BIT PATTERN through the int64 shuffle schema
-        cols = {c: batch[c].cast(t, safe=False) for c, t in keep.items()}
-        cols["__key"] = pa.array(k.astype(np.int64))
-        cols["__val"] = pa.nulls(batch.num_rows, value_type)
-        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.bool_))
-        cols["part"] = pa.array((k % P).astype(np.int32))
-        return pa.table({c: cols[c] for c in cols_order})
-
-    def tag_side(batch: pa.Table) -> pa.Table:
-        k = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        cols = {c: pa.nulls(batch.num_rows, t) for c, t in keep.items()}
-        cols["__key"] = pa.array(k.astype(np.int64))
-        cols["__val"] = batch[value_col].cast(value_type, safe=False)
-        cols["__side"] = pa.array(np.ones(batch.num_rows, np.bool_))
-        cols["part"] = pa.array((k % P).astype(np.int32))
-        return pa.table({c: cols[c] for c in cols_order})
-
-    unioned = cand.map_batches(tag_pairs, batch_format="pyarrow").union(
-        side_ds.map_batches(tag_side, batch_format="pyarrow")
+@ray.remote
+def _split_block(tab: pa.Table, key_col: str, num_partitions: int):
+    """One side block -> P key%P sub-tables (stays in the object store)."""
+    k = tab[key_col].to_numpy(zero_copy_only=False).astype(np.uint64) \
+        % np.uint64(num_partitions)
+    return tuple(
+        tab.filter(pa.array(k == p)) for p in range(num_partitions)
     )
 
+
+def partition_side_table(side_ds, key_col: str = "doc_id",
+                         num_partitions: int = 32) -> list[list]:
+    """Manual hash-partition of a per-doc side table for lookup joins: one
+    Ray task per block splits it into ``P`` object-store sub-tables; the
+    driver holds ONLY the refs.  Partition ``p`` of the side table is the
+    concatenation of every block's p-th sub-table — a resolve task fetches
+    just its own partition's refs (cut-proportional traffic, zero
+    broadcast).  Built once and reusable across several joins (both
+    endpoint lookups of a pair verify share it)."""
+    mat = side_ds.materialize()
+    per_part: list[list] = [[] for _ in range(num_partitions)]
+    for b in mat.iter_internal_ref_bundles():
+        for ref, meta in b.blocks:
+            if not meta.num_rows:
+                continue  # sort/filter can emit degenerate empty blocks
+            outs = _split_block.options(num_returns=num_partitions).remote(
+                ref, key_col, num_partitions
+            )
+            if num_partitions == 1:
+                outs = [outs]
+            for p, r in enumerate(outs):
+                per_part[p].append(r)
+    return per_part
+
+
+def _lookup_join(cand, side_parts: list[list], pair_col: str,
+                 value_col: str, out_col: str, keep: list[str],
+                 num_partitions: int = 32, dedup_keys: tuple | None = None):
+    """Distributed lookup join: attach ``side[value_col]`` (keyed by
+    ``doc_id``) to every candidate-pair row on ``pair_col``.  Pairs are
+    co-located by ONE plain ``groupby(pair_col % P)``; each resolve fetches
+    ONLY its partition of the pre-split side table (``side_parts`` from
+    :func:`partition_side_table`) and probes it with a sorted searchsorted.
+    Deliberately NOT ``Dataset.join`` (its per-partition aggregator actors
+    deadlocked small sessions) and NOT a union+groupby (a union input
+    defeats the sort fast path — measured 4x the shuffle constant).
+    ``dedup_keys``: drop duplicate pair rows on these columns inside the
+    resolve (all copies share ``pair_col`` so they meet in one group) —
+    lets the caller skip a dedicated dedup round.  Nothing corpus-wide ever
+    materializes on the driver."""
+    P = np.uint64(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[pair_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = pa.table({c: batch[c] for c in keep})
+        return t.append_column("part", pa.array((k % P).astype(np.int32)))
+
     def resolve(group: pa.Table) -> pa.Table:
-        side = group["__side"].to_numpy(zero_copy_only=False)
-        keys = group["__key"].to_numpy(zero_copy_only=False)
-        spos = np.flatnonzero(side)
-        ppos = np.flatnonzero(~side)
-        out_schema = pa.schema(list(keep.items()) + [(out_col, value_type)])
-        if len(ppos) == 0:
-            return out_schema.empty_table()
-        sk = keys[spos]
+        p = int(group["part"][0].as_py())
+        side = pa.concat_tables(ray.get(side_parts[p]))
+        sk = side["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(sk, kind="stable")
         sk = sk[order]
-        vals = group["__val"].combine_chunks().take(pa.array(spos[order]))
-        idx = np.searchsorted(sk, keys[ppos])
-        if (idx >= len(sk)).any() or (sk[np.minimum(idx, len(sk) - 1)] != keys[ppos]).any():
+        vals = side[value_col].combine_chunks().take(pa.array(order))
+        tab = group.select(keep)
+        if dedup_keys is not None and tab.num_rows > 1:
+            # exact multi-column distinct via lexsort run detection
+            arrs = [tab[c].to_numpy(zero_copy_only=False) for c in dedup_keys]
+            order = np.lexsort(arrs[::-1])
+            dup = np.ones(len(order), bool)
+            dup[1:] = np.logical_or.reduce(
+                [a[order][1:] != a[order][:-1] for a in arrs]
+            )
+            tab = tab.take(pa.array(np.sort(order[dup])))
+        keys = tab[pair_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sk, keys)
+        if (idx >= len(sk)).any() or (sk[np.minimum(idx, len(sk) - 1)] != keys).any():
             raise KeyError("dedup lookup join miss: pair references unknown doc_id")
-        pairs_tab = group.take(pa.array(ppos)).select(list(keep))
-        return pairs_tab.append_column(out_col, vals.take(pa.array(idx)))
+        return tab.append_column(out_col, vals.take(pa.array(idx)))
 
-    return unioned.groupby("part").map_groups(resolve, batch_format="pyarrow")
+    return (
+        cand.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
 
 
 def minhash_lsh_pairs(docs, threshold: float = 0.7, num_perm: int = 64,
@@ -230,7 +306,8 @@ def minhash_lsh_pairs(docs, threshold: float = 0.7, num_perm: int = 64,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle_k": shingle_k},
     )
-    cand = _bucket_pairs(sigs)
+    # cross-band duplicate pairs are deduped inside the first lookup join
+    cand = _bucket_pairs(sigs, dedup=False)
 
     # per-doc shingle table, computed and KEPT distributed; arrays are
     # binary-encoded (raw uint64 bytes) because Arrow hash joins carry
@@ -245,12 +322,15 @@ def minhash_lsh_pairs(docs, threshold: float = 0.7, num_perm: int = 64,
             }
         )
 
-    sh_ds = docs.map_batches(to_shingles, batch_format="pyarrow")
-    i64, bin_ = pa.int64(), pa.binary()
-    withs = _lookup_join(cand, sh_ds, "a", "sh", "sh_a",
-                         {"a": i64, "b": i64}, bin_)
-    withs = _lookup_join(withs, sh_ds, "b", "sh", "sh_b",
-                         {"a": i64, "b": i64, "sh_a": bin_}, bin_)
+    # the side table is hash-partitioned ONCE into the object store; both
+    # endpoint lookups fetch only their own partitions of it
+    sh_parts = partition_side_table(
+        docs.map_batches(to_shingles, batch_format="pyarrow")
+    )
+    withs = _lookup_join(cand, sh_parts, "a", "sh", "sh_a", ["a", "b"],
+                         dedup_keys=("a", "b"))
+    withs = _lookup_join(withs, sh_parts, "b", "sh", "sh_b",
+                         ["a", "b", "sh_a"])
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -305,7 +385,7 @@ def simhash_pairs(docs, max_hamming: int = 3, bands: int = 4, concurrency: int =
         SimHashStage, batch_format="pyarrow", batch_size=512,
         concurrency=concurrency, fn_constructor_kwargs={"bands": bands},
     ).materialize()
-    cand = _bucket_pairs(sigs)
+    cand = _bucket_pairs(sigs, dedup=False)
 
     # one row per doc (band 0 carries the same sig as every band)
     import pyarrow.compute as pc
@@ -314,11 +394,11 @@ def simhash_pairs(docs, max_hamming: int = 3, bands: int = 4, concurrency: int =
         lambda t: t.filter(pc.equal(t["band"], 0)).select(["doc_id", "sig"]),
         batch_format="pyarrow",
     )
-    i64 = pa.int64()
-    withs = _lookup_join(cand, sig_ds, "a", "sig", "sig_a",
-                         {"a": i64, "b": i64}, i64)
-    withs = _lookup_join(withs, sig_ds, "b", "sig", "sig_b",
-                         {"a": i64, "b": i64, "sig_a": i64}, i64)
+    sig_parts = partition_side_table(sig_ds)
+    withs = _lookup_join(cand, sig_parts, "a", "sig", "sig_a", ["a", "b"],
+                         dedup_keys=("a", "b"))
+    withs = _lookup_join(withs, sig_parts, "b", "sig", "sig_b",
+                         ["a", "b", "sig_a"])
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -49,6 +49,7 @@ class RankBoard:
         self.iterations = np.zeros(num_partitions, dtype=np.int64)
         self.inbox: list[list] = [[] for _ in range(num_partitions)]
         self.hot_partials: dict[int, np.ndarray] = {}
+        self._hot_sum: np.ndarray | None = None
         self.dead_partials: dict[int, float] = {}
         self.stopped = False
 
@@ -64,12 +65,20 @@ class RankBoard:
         """Barrier-free hot-vertex combine: publish this partition's freshest
         hot partial-sum vector, get back the sum over every partition's
         freshest (stale partials tolerated — same fixed-point argument as
-        stale shards).  Payloads are n_hot-sized, tiny by construction."""
+        stale shards).  Payloads are n_hot-sized, tiny by construction.
+        The sum is maintained INCREMENTALLY (subtract the caller's previous
+        partial, add the new one): O(n_hot) per call instead of O(P*n_hot),
+        so the board stays off the critical path at large P.  FP drift from
+        incremental updates is far below the convergence tolerance and is
+        absorbed by the barrier-free staleness argument."""
+        old = self.hot_partials.get(pid)
+        if self._hot_sum is None:
+            self._hot_sum = np.zeros_like(partial)
+        if old is not None:
+            self._hot_sum -= old
+        self._hot_sum += partial
         self.hot_partials[pid] = partial
-        out = np.zeros_like(partial)
-        for arr in self.hot_partials.values():
-            out += arr
-        return out
+        return self._hot_sum.copy()
 
     def sync(self, pid: int, shard_ref_box: list, converged: bool, iteration: int, marks):
         """Atomically publish this partition's state and fetch the freshest
