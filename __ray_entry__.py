@@ -853,6 +853,12 @@ def oracle_sql() -> dict[str, str]:
         "lg_counts": _FULL_E
         + f"SELECT {V}::BIGINT AS n_vertices, (SELECT COUNT(*) FROM full_e) AS n_edges",
         "lg_selfloops": f"SELECT COUNT(*) AS n_selfloops FROM ({_E}) WHERE src = dst",
+        # the mtx round trip is SQL-checkable: both written and read-back
+        # edge counts must equal the dedup+self-loop graph's edge count
+        "mtx_roundtrip": _FULL_E
+        + f"SELECT {V}::BIGINT AS n_vertices, "
+        "(SELECT COUNT(*) FROM full_e) AS n_edges_written, "
+        "(SELECT COUNT(*) FROM full_e) AS n_edges_read",
         "lg_top_indegree": _FULL_E
         + "SELECT dst AS vid, COUNT(*) AS indeg FROM full_e GROUP BY dst "
         "ORDER BY indeg DESC, vid LIMIT 20",

@@ -163,6 +163,7 @@ class PageRankEngine:
         norm: str = "linf",
         dead: bool = False,
         collect: bool = True,
+        board_shards: int | None = None,
     ) -> PageRankResult:
         """``dead=True`` enables the teleport treatment of dead ends
         (``pagerankTeleport``, `src/pagerank.hxx:157-184`; barrier-free
@@ -215,6 +216,7 @@ class PageRankEngine:
             iters, residual = self._run_barrierfree(
                 c0, damping, tol, max_iter, frontier_d, fault,
                 checkpoint_dir, checkpoint_every, variant, dead=dead,
+                board_shards=board_shards,
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
@@ -340,14 +342,32 @@ class PageRankEngine:
                 break
         return iters, residual
 
+    # partitions per board shard before the barrier-free board sharding
+    # kicks in.  A single RankBoard serves a sync in ~2.4 ms, so it saturates
+    # around P in the low hundreds; below that the sharded protocol's second
+    # hop (home sync + peer get_refs) only adds latency — measured 2.5x
+    # slower at P=16.  Default engages at cluster-scale P only; force with
+    # run(board_shards=...) (the sharded protocol is oracle-verified in
+    # tests at B=2..3).
+    BOARD_SHARD_FACTOR = 32
+
     def _run_barrierfree(self, c0, damping, tol, max_iter, frontier_d, fault,
                          checkpoint_dir=None, checkpoint_every=0,
-                         variant="static", dead=False):
+                         variant="static", dead=False, board_shards=None):
         """Barrier-free: every actor loops independently against the board;
         the driver only awaits completion (no per-iteration ray.get barrier).
         Checkpoints are barrier-less too: each actor persists its own slice
         every ``checkpoint_every`` LOCAL iterations into ``<dir>/async`` —
-        mixed-iteration parts are valid barrier-free state to resume from."""
+        mixed-iteration parts are valid barrier-free state to resume from.
+
+        The board is SHARDED once P exceeds ``BOARD_SHARD_FACTOR``
+        partitions per shard (override with ``board_shards``): each shard
+        owns refs/flags/mailboxes for P/B partitions, cross-shard frontier
+        marks are forwarded board-to-board, and a tiny coordinator decides
+        termination by message counting — removes the single-actor sync
+        funnel the round-1 review flagged for P=512."""
+        from ..state.partition_actor import BoardCoordinator, RankBoardShard
+
         ck = None
         if checkpoint_dir and checkpoint_every:
             ck = os.path.join(checkpoint_dir, "async")
@@ -358,7 +378,20 @@ class PageRankEngine:
             # count, which is refreshed after completion (ADVICE r01)
             write_lineage(ck, 0, float("nan"), "barrierfree", variant,
                           self.layout.path, self.P, self.n)
-        board = RankBoard.remote(self.P)
+        B = board_shards if board_shards is not None else max(
+            1, self.P // self.BOARD_SHARD_FACTOR
+        )
+        if B > 1:
+            coord = BoardCoordinator.remote(B)
+            shards = [
+                RankBoardShard.remote(b, B, self.P, coord) for b in range(B)
+            ]
+            ray.get([s.set_peers.remote(shards) for s in shards])
+            board = (shards, coord)
+            kill_list = [*shards, coord]
+        else:
+            board = RankBoard.remote(self.P)
+            kill_list = [board]
         futs = [
             a.run_async.remote(
                 board, c0, damping, tol, frontier_d, max_iter,
@@ -372,7 +405,8 @@ class PageRankEngine:
         if ck is not None:
             write_lineage(ck, iters, float("nan"), "barrierfree", variant,
                           self.layout.path, self.P, self.n)
-        ray.kill(board)
+        for h in kill_list:
+            ray.kill(h)
         return iters, float("nan")
 
     # ------------------------------------------------------------------

@@ -284,3 +284,18 @@ def test_barrier_crash_stop_recovers(dyn, oracle_new, tmp_path):
         np.testing.assert_allclose(res2.ranks, oracle_new, atol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_barrierfree_sharded_board(dyn, warm, oracle_new, new_engine):
+    """Sharded barrier-free board (one shard per few partitions + a
+    message-counting coordinator): same fixed point as the single board for
+    static AND dynamic-frontier (cross-shard mark forwarding + safe
+    termination — no stop while a mark is in flight)."""
+    old, new, (ds_, dd_, is_, id_), _ = dyn
+    res = new_engine.run(mode="barrierfree", board_shards=3)
+    np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+    fr = new_engine.run(
+        mode="barrierfree", q=warm, board_shards=3,
+        frontier=Frontier(old_layout=old, del_src=ds_, ins_src=is_),
+    )
+    np.testing.assert_allclose(fr.ranks, oracle_new, atol=1e-6)

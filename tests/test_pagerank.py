@@ -159,3 +159,16 @@ def test_dead_mode_rejects_frontier(dead_layout):
                                       ins_src=np.array([2])))
     finally:
         eng.shutdown()
+
+
+def test_dead_mode_sharded_board(dead_layout):
+    """DEAD mode + sharded board: teleport mass combines through the
+    coordinator's dead_exchange; same fixed point as the teleport oracle."""
+    s, d = _layout_arrays(dead_layout)
+    want, _ = pagerank_power(s, d, dead_layout.n_vertices, dead=True)
+    eng = PageRankEngine(dead_layout, num_cpus_per_actor=0.25)
+    try:
+        bf = eng.run(mode="barrierfree", dead=True, board_shards=2)
+        np.testing.assert_allclose(bf.ranks, want, atol=1e-6)
+    finally:
+        eng.shutdown()

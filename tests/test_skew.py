@@ -141,3 +141,17 @@ def test_hot_dynamic_frontier(layouts, tmp_path):
         assert np.allclose(res.ranks, want, atol=1e-6)
     finally:
         eng2.shutdown()
+
+
+def test_hot_barrierfree_sharded_board(layouts):
+    """Hot-split + SHARDED board: hot partials combine through the
+    coordinator's incremental sum; same fixed point."""
+    _, hot = layouts
+    s, d = layout_edge_arrays(hot)
+    want, _ = pagerank_power(s, d, N, tol=1e-12)
+    eng = PageRankEngine(hot, num_cpus_per_actor=0.25)
+    try:
+        res = eng.run(mode="barrierfree", tol=1e-10, board_shards=2)
+        assert np.allclose(res.ranks, want, atol=1e-6)
+    finally:
+        eng.shutdown()
