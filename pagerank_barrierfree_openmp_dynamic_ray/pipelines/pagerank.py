@@ -108,14 +108,16 @@ class PageRankEngine:
         self.actors = []
 
     # ------------------------------------------------------------------
-    def _scatter_q(self, q: np.ndarray | None):
+    def _scatter_q(self, q: np.ndarray | None, rank_dtype: str = "float64"):
         """Warm-start ranks -> owner shards (vid % P owns, slot vid // P)."""
         if q is None:
-            ray.get([a.init_ranks.remote(None) for a in self.actors])
+            ray.get([a.init_ranks.remote(None, rank_dtype) for a in self.actors])
         else:
             ray.get(
                 [
-                    a.init_ranks.remote(np.ascontiguousarray(q[p:: self.P]))
+                    a.init_ranks.remote(
+                        np.ascontiguousarray(q[p:: self.P]), rank_dtype
+                    )
                     for p, a in enumerate(self.actors)
                 ]
             )
@@ -164,6 +166,7 @@ class PageRankEngine:
         dead: bool = False,
         collect: bool = True,
         board_shards: int | None = None,
+        rank_dtype: str = "float64",
     ) -> PageRankResult:
         """``dead=True`` enables the teleport treatment of dead ends
         (``pagerankTeleport``, `src/pagerank.hxx:157-184`; barrier-free
@@ -177,7 +180,12 @@ class PageRankEngine:
         the driver (``result.ranks is None``); consume the ranks
         Dataset-natively instead via ``checkpoint_dir`` +
         ``state.checkpoint.ranks_dataset``/``rank_topk`` — the required
-        shape once |V| outgrows one machine."""
+        shape once |V| outgrows one machine.
+
+        ``rank_dtype="float32"`` is the reference's TYPE compile flag: rank
+        vectors and contribution shards are stored/shipped as float32
+        (HALF the bytes per sweep — the kernel is bandwidth-bound) with
+        float64 accumulation inside the pull; use tolerances >= ~1e-6."""
         variant = (
             "frontier" if frontier is not None else ("naive" if q is not None else "static")
         )
@@ -192,9 +200,12 @@ class PageRankEngine:
                              "dynamic frontier: a moving C0 re-ranks every "
                              "vertex each sweep")
 
+        if np.dtype(rank_dtype) == np.float32 and tol < 1e-7:
+            raise ValueError("rank_dtype='float32' cannot converge below "
+                             "~1e-7; raise tol or use float64")
         t0 = time.perf_counter()
         self._swept_vertices = None  # set by the superstep loop
-        self._scatter_q(q)
+        self._scatter_q(q, rank_dtype)
         ray.get([a.set_frontier_mode.remote(frontier_on) for a in self.actors])
         if frontier is not None:
             self._seed_frontier(frontier)

@@ -317,9 +317,15 @@ class CsrPartitionActor:
     def ready(self) -> int:
         return self.csr.n_owned
 
-    def init_ranks(self, q: np.ndarray | None) -> None:
+    def init_ranks(self, q: np.ndarray | None, dtype: str = "float64") -> None:
         """q = warm-start ranks for owned slots (naive-dynamic / frontier,
-        `src/pagerank.hxx:488-489`) else 1/N."""
+        `src/pagerank.hxx:488-489`) else 1/N.  ``dtype``: the rank/shard
+        element type (the reference's TYPE compile flag) — "float32" halves
+        the bytes each contribution shard ships per sweep (the kernel is
+        bandwidth-bound), at ~1e-6 rank precision."""
+        dt = np.dtype(dtype)
+        if self.r.dtype != dt:
+            self.r = np.zeros(self.csr.n_owned, dtype=dt)
         if q is None:
             self.r[:] = 1.0 / self.csr.n_vertices
         else:
@@ -381,14 +387,16 @@ class CsrPartitionActor:
                 self.conv[:] = True
                 self._norms = (0.0, 0.0, 0.0)
                 return 0.0, {}, 0
-            a = csr.pull_selected(cvals, sel, c0, damping, hot_sums)
+            a = csr.pull_selected(cvals, sel, c0, damping, hot_sums).astype(
+                self.r.dtype, copy=False)
             delta = np.abs(a - self.r[sel])
             self.r[sel] = a
             self.conv[sel] = delta <= tol
             hot = sel[delta > frontier_d] if frontier_d is not None else sel[:0]
         else:
             sel = None
-            a = csr.pull_all(cvals, c0, damping, hot_sums)
+            a = csr.pull_all(cvals, c0, damping, hot_sums).astype(
+                self.r.dtype, copy=False)
             delta = np.abs(a - self.r)
             self.r = a
             self.conv = delta <= tol

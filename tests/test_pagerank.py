@@ -172,3 +172,18 @@ def test_dead_mode_sharded_board(dead_layout):
         np.testing.assert_allclose(bf.ranks, want, atol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_float32_rank_dtype(random_engine):
+    """TYPE flag (reference compile-time `TYPE`): float32 ranks/shards reach
+    the float64 fixed point to ~1e-5 in both protocols, and the engine
+    refuses a tolerance float32 cannot express."""
+    eng, layout = random_engine
+    s, d = _layout_arrays(layout)
+    want, _ = pagerank_power(s, d, layout.n_vertices)
+    r32 = eng.run(mode="barrier", tol=1e-6, rank_dtype="float32")
+    np.testing.assert_allclose(r32.ranks, want, atol=1e-4)
+    b32 = eng.run(mode="barrierfree", tol=1e-6, rank_dtype="float32")
+    np.testing.assert_allclose(b32.ranks, want, atol=1e-4)
+    with pytest.raises(ValueError, match="float32"):
+        eng.run(mode="barrier", tol=1e-10, rank_dtype="float32")
