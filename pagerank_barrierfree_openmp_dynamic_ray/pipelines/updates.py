@@ -31,45 +31,58 @@ def generate_batch(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Seeded (del_src, del_dst, ins_src, ins_dst) over the CURRENT edge set.
 
-    Deletion picks a uniform vertex u then a uniform existing out-edge of u
-    (adjacency in sorted order, matching LazyBitset iteration order,
-    `src/_bitset.hxx`); 5 retries when u has no out-edges
-    (`src/_utility.hxx:79-84`).  Driver-side by design: batches are tiny
-    relative to |E| (fractions 1e-8..0.05 of |E|, `main.sh:20-26`).
+    Deletion semantics mirror the reference (`src/random.hxx:34-58`): a
+    uniform vertex u, then a uniform out-edge of u (adjacency in sorted
+    order, matching LazyBitset iteration order, `src/_bitset.hxx`), retried
+    up to 5 rounds when the pick fails — u has no out-edges, or the picked
+    edge was already deleted this batch (`src/_utility.hxx:79-84`).  Fully
+    VECTORIZED: each retry round draws all outstanding picks at once (the
+    per-pick Python loop cost 44 s at a 51k batch over 51M edges; this is
+    sub-second).  As in the reference, exhausting the retries can yield
+    fewer than ``batch_size`` deletions.
     """
     rng = np.random.default_rng(seed)
-    # adjacency view: edges sorted by (src, dst)
-    order = np.lexsort((dst, src))
-    s_sorted, d_sorted = src[order].astype(np.int64), dst[order].astype(np.int64)
-    indptr = np.zeros(n_vertices + 1, dtype=np.int64)
-    np.cumsum(np.bincount(s_sorted, minlength=n_vertices), out=indptr[1:])
-    alive = np.ones(len(s_sorted), dtype=bool)
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    deg = np.bincount(src, minlength=n_vertices)
+    sp = np.int64(n_vertices)
 
-    del_s, del_d = [], []
-    for _ in range(batch_size):
-        for _retry in range(5):
-            u = int(rng.random() * n_vertices)
-            lo, hi = indptr[u], indptr[u + 1]
-            live = np.flatnonzero(alive[lo:hi])
-            if len(live) == 0:
-                continue
-            j = lo + live[int(rng.random() * len(live))]
-            alive[j] = False
-            del_s.append(u)
-            del_d.append(int(d_sorted[j]))
+    # never sort the full edge list (a 50M-edge lexsort+take costs ~50 s on
+    # the driver): each round extracts ONLY the picked vertices' adjacency
+    # (~batch_size * avg_degree edges), sorts that, and resolves picks with
+    # searchsorted.  Edges are identified by their (src, dst) key — the
+    # engine deletes by key (layouts are deduped), so key-level dedup is
+    # exact.
+    dead = np.empty(0, dtype=np.int64)  # sorted keys deleted so far
+    del_s_parts, del_d_parts = [], []
+    n_picked = 0
+    for _retry in range(5):
+        need = batch_size - n_picked
+        if need <= 0:
             break
+        u = (rng.random(need) * n_vertices).astype(np.int64)
+        u = u[deg[u] > 0]
+        if len(u) == 0:
+            continue
+        j = (rng.random(len(u)) * deg[u]).astype(np.int64)
+        uu = np.unique(u)
+        sel = np.isin(src, uu)
+        ss, dd = src[sel], dst[sel]
+        o = np.lexsort((dd, ss))
+        ss, dd = ss[o], dd[o]
+        e = np.searchsorted(ss, u) + j  # j < deg[u] = run length of u in ss
+        keys = np.unique(ss[e] * sp + dd[e])  # in-round duplicate picks fail
+        keys = keys[~np.isin(keys, dead)]  # already-deleted picks fail
+        dead = np.union1d(dead, keys)
+        del_s_parts.append(keys // sp)
+        del_d_parts.append(keys % sp)
+        n_picked += len(keys)
+    del_s = np.concatenate(del_s_parts) if del_s_parts else np.empty(0, np.int64)
+    del_d = np.concatenate(del_d_parts) if del_d_parts else np.empty(0, np.int64)
 
-    ins_s, ins_d = [], []
-    for _ in range(batch_size):
-        ins_s.append(int(rng.random() * n_vertices))
-        ins_d.append(int(rng.random() * n_vertices))
-
-    return (
-        np.array(del_s, dtype=np.int64),
-        np.array(del_d, dtype=np.int64),
-        np.array(ins_s, dtype=np.int64),
-        np.array(ins_d, dtype=np.int64),
-    )
+    ins_s = (rng.random(batch_size) * n_vertices).astype(np.int64)
+    ins_d = (rng.random(batch_size) * n_vertices).astype(np.int64)
+    return del_s, del_d, ins_s, ins_d
 
 
 def apply_batch(
