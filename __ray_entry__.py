@@ -222,16 +222,15 @@ def _q_pr_dynamic_frontier_top20(sf_dir: str):
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import Frontier
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
         apply_batch_to_layout,
-        generate_batch,
-        layout_edge_arrays,
+        generate_batch_from_layout,
     )
 
     old = derived_layout(sf_dir)
     eng = _pr_engine(sf_dir)
     warm = eng.run(mode="barrier").ranks
     eng.shutdown()
-    s0, d0 = layout_edge_arrays(old)
-    ds_, dd_, is_, id_ = generate_batch(s0, d0, V, batch_size=max(1, old.n_edges // 1000))
+    ds_, dd_, is_, id_ = generate_batch_from_layout(
+        old, max(1, old.n_edges // 1000))
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_upd")
     new = apply_batch_to_layout(old, out, ds_, dd_, is_, id_)

@@ -73,6 +73,7 @@ def run_bench() -> dict:
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
         apply_batch_to_layout,
         generate_batch,
+        generate_batch_from_layout,
         layout_edge_arrays,
     )
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
@@ -111,9 +112,9 @@ def run_bench() -> dict:
 
     # dynamic batch: 0.1% of |E| deletions + insertions (the reference's
     # mid-range batch fraction)
-    s0, d0 = layout_edge_arrays(layout)
     bsz = max(1, layout.n_edges // 1000)
-    ds_, dd_, is_, id_ = generate_batch(s0, d0, V, batch_size=bsz, seed=42)
+    # distributed batch generation: the edge list never reaches the driver
+    ds_, dd_, is_, id_ = generate_batch_from_layout(layout, bsz, seed=42)
     t0 = time.perf_counter()
     new = apply_batch_to_layout(layout, os.path.join(WORK, "g2"), ds_, dd_, is_, id_)
     q["batch_apply"] = time.perf_counter() - t0

@@ -85,6 +85,85 @@ def generate_batch(
     return del_s, del_d, ins_s, ins_d
 
 
+def _pick_edges_part(part_dir: str, us: np.ndarray, fs: np.ndarray,
+                     span: int) -> np.ndarray:
+    """Resolve deletion picks for the vertices owned by one ``edges_out``
+    partition: vertex ``us[i]`` deletes its ``floor(fs[i] * deg)``-th
+    out-edge (sorted adjacency).  Returns the picked (src*span+dst) keys,
+    -1 where the vertex has no out-edges.  Reads ONLY this partition's
+    files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(part_dir):
+        return np.full(len(us), -1, dtype=np.int64)
+    t = pq.read_table(part_dir, columns=["src", "dst"])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((d, s))
+    s, d = s[o], d[o]
+    starts = np.searchsorted(s, us)
+    deg = np.searchsorted(s, us, side="right") - starts
+    out = np.full(len(us), -1, dtype=np.int64)
+    ok = deg > 0
+    e = starts[ok] + (fs[ok] * deg[ok]).astype(np.int64)
+    out[ok] = s[e] * np.int64(span) + d[e]
+    return out
+
+
+def generate_batch_from_layout(
+    layout: GraphLayout,
+    batch_size: int,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed :func:`generate_batch`: same semantics (uniform vertex,
+    uniform out-edge, <= 5 retry rounds), but the edge list NEVER
+    materializes on the driver — each retry round ships (vertex, uniform
+    float) picks to one Ray task per touched ``edges_out`` partition, which
+    resolves them against its own sorted adjacency.  The driver holds only
+    the picks and the deleted-key set.  This is the batch generator the
+    dynamic pipeline uses at scale; the array-based variant remains for
+    in-memory tests/oracles."""
+    import os
+
+    import ray
+
+    rng = np.random.default_rng(seed)
+    n = layout.n_vertices
+    P = layout.num_partitions
+    sp = np.int64(n)
+    pick = ray.remote(_pick_edges_part)
+
+    dead = np.empty(0, dtype=np.int64)
+    del_parts: list[np.ndarray] = []
+    n_picked = 0
+    for _retry in range(5):
+        need = batch_size - n_picked
+        if need <= 0:
+            break
+        u = (rng.random(need) * n).astype(np.int64)
+        f = rng.random(need)
+        futs = []
+        for p in np.unique(u % P):
+            m = (u % P) == p
+            futs.append(pick.remote(
+                os.path.join(layout.edges_out, f"part={int(p)}"),
+                u[m], f[m], n,
+            ))
+        keys = np.concatenate(ray.get(futs))
+        keys = np.unique(keys[keys >= 0])  # failed + duplicate picks retry
+        keys = keys[~np.isin(keys, dead)]
+        dead = np.union1d(dead, keys)
+        del_parts.append(keys)
+        n_picked += len(keys)
+    del_k = np.concatenate(del_parts) if del_parts else np.empty(0, np.int64)
+
+    ins_s = (rng.random(batch_size) * n).astype(np.int64)
+    ins_d = (rng.random(batch_size) * n).astype(np.int64)
+    return del_k // sp, del_k % sp, ins_s, ins_d
+
+
 def apply_batch(
     edges,
     n_vertices: int,

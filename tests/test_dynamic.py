@@ -299,3 +299,29 @@ def test_barrierfree_sharded_board(dyn, warm, oracle_new, new_engine):
         frontier=Frontier(old_layout=old, del_src=ds_, ins_src=is_),
     )
     np.testing.assert_allclose(fr.ranks, oracle_new, atol=1e-6)
+
+
+def test_generate_batch_from_layout(dyn):
+    """Distributed batch generation (edge list never on the driver): picks
+    are real unique edges of the layout, insertions are in range, and the
+    batch drives the dynamic pipeline end to end."""
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
+        generate_batch_from_layout,
+    )
+
+    old, _, _, root = dyn
+    ds_, dd_, is_, id_ = generate_batch_from_layout(old, 30, seed=13)
+    assert len(ds_) == 30 and len(is_) == 30
+    s0, d0 = layout_edge_arrays(old)
+    pairs = set(zip(s0.tolist(), d0.tolist()))
+    keys = set()
+    for u, v in zip(ds_.tolist(), dd_.tolist()):
+        assert (u, v) in pairs
+        keys.add((u, v))
+    assert len(keys) == 30  # no duplicate deletions
+    assert is_.max() < old.n_vertices and id_.max() < old.n_vertices
+    upd = apply_batch_to_layout(old, str(root / "from_layout"), ds_, dd_, is_, id_)
+    s1, d1 = layout_edge_arrays(upd)
+    new_pairs = set(zip(s1.tolist(), d1.tolist()))
+    for u, v in zip(is_.tolist(), id_.tolist()):
+        assert (u, v) in new_pairs
