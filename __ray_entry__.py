@@ -427,6 +427,17 @@ def _q_doc_exact_dedup(sf_dir: str):
     return _i64(exact_dedup(_docs(sf_dir)).to_pandas())
 
 
+def _q_doc_dedup_kept(sf_dir: str):
+    """The deduplicated document SET (smallest doc_id per content) via the
+    scale plan — ONE hash(md5)%P shuffle, no keeper-id broadcast."""
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
+        exact_dedup_keep_first,
+    )
+
+    kept = exact_dedup_keep_first(_docs(sf_dir)).select_columns(["doc_id"])
+    return _i64(kept.to_pandas())
+
+
 def _q_doc_minhash_pairs(sf_dir: str):
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import minhash_lsh_pairs
 
@@ -824,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_dedup_kept": _q_doc_dedup_kept,
         # near-dup family (rows-only; pytest oracles)
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -930,6 +942,8 @@ FROM s
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "doc_exact_dedup": "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, "
         "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
+        "doc_dedup_kept": "SELECT MIN(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(text)",
         "ann_top3": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
 SELECT qid, e.vec_id,

@@ -60,19 +60,67 @@ def exact_dedup(docs):
     )
 
 
-def exact_dedup_keep_first(docs):
-    """The deduplicated document set itself: rows whose doc_id is the keeper.
-    Keeper ids are broadcast (one hash + id per DISTINCT content — small);
-    at extreme scale this becomes a semi-join on md5."""
-    keep = exact_dedup(docs).select_columns(["keep_id"]).to_pandas()["keep_id"]
-    keep_ref = ray.put(np.sort(keep.to_numpy().astype(np.int64)))
+def exact_dedup_keep_first(docs, num_partitions: int = 32,
+                           plan: str = "shuffle"):
+    """The deduplicated document set itself: rows whose doc_id is the
+    smallest among identical content.
 
-    def f(batch: pa.Table) -> pa.Table:
-        k = ray.get(keep_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(np.isin(ids, k)))
+    Default plan is ONE hash(md5)%P shuffle with a vectorized first-per-md5
+    filter inside each partition — no corpus-wide state anywhere (the
+    keeper-id list of a 100-TB corpus would not fit a driver).
+    ``plan="broadcast"`` keeps the old small-corpus shortcut: collect the
+    (small) keeper-id list once and filter the streaming docs against it."""
+    if plan == "broadcast":
+        keep = exact_dedup(docs).select_columns(["keep_id"]).to_pandas()["keep_id"]
+        keep_ref = ray.put(np.sort(keep.to_numpy().astype(np.int64)))
 
-    return docs.map_batches(f, batch_format="pyarrow")
+        def f(batch: pa.Table) -> pa.Table:
+            k = ray.get(keep_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(np.isin(ids, k)))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    from ..functions.hashing import stable_hash_strings
+
+    P = np.uint64(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        md5s = pa.array(
+            [hashlib.md5(t.encode()).hexdigest()
+             for t in batch["text"].to_pylist()],
+            pa.string(),
+        )
+        part = (stable_hash_strings(md5s) % P).astype(np.int32)
+        return batch.append_column("md5", md5s).append_column(
+            "part", pa.array(part)
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("md5", "ascending"), ("doc_id", "ascending")]
+        )
+        s = group.take(idx)
+        m = s["md5"].combine_chunks()
+        n = len(m)
+        if n == 0:
+            return s.drop_columns(["part", "md5"])
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = ~pc.equal(m.slice(1), m.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        return s.filter(pa.array(first)).drop_columns(["part", "md5"])
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

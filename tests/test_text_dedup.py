@@ -86,6 +86,12 @@ def test_exact_dedup(dup_docs):
     kept = dedup.exact_dedup_keep_first(dup_docs).to_pandas()
     assert len(kept) == 7
     assert kept["text"].is_unique
+    # the shuffle plan keeps the SMALLEST doc_id per content and matches
+    # the broadcast shortcut row for row
+    bc = dedup.exact_dedup_keep_first(dup_docs, plan="broadcast").to_pandas()
+    a = kept.sort_values("doc_id").reset_index(drop=True)
+    b = bc.sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
 
 
 def test_minhash_lsh_finds_near_dups(dup_docs):
