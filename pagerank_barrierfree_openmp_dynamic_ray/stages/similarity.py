@@ -358,34 +358,51 @@ def near_dup_cosine_lsh(embeddings, tau: float = 0.95, bits: int = 8,
     return cand.groupby(["a", "b"]).map_groups(first_only, batch_format="pyarrow")
 
 
-def near_dup_cosine(embeddings, tau: float = 0.95, dtype=np.float32):
-    """All pairs (a < b, cosine >= tau).  The corpus matrix is broadcast once
-    (sandbox scale); each batch multiplies against it — O(N x B x d) blocked.
-    Scale path: bucket by hyperplane code first (same verify kernel).
-    ``dtype=np.float64`` for oracle-grade comparisons against SQL twins."""
-    pdf = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
-    all_ids = pdf["vec_id"].to_numpy().astype(np.int64)
-    allm = _normalize(np.vstack(pdf["embedding"].to_numpy()).astype(dtype))
-    ref = ray.put((all_ids, allm))
+@ray.remote
+def _block_pair_cosine(blk_i, blk_j, same: bool, tau: float, dtype_str: str):
+    """Cosine >= tau pairs between two embedding blocks (object-store
+    resident; one task per block pair)."""
+    dtype = np.dtype(dtype_str)
+    ia, ea = blk_i
+    ib, eb = blk_j
+    sims = _normalize(ea.astype(dtype)) @ _normalize(eb.astype(dtype)).T
+    if same:
+        bi, bj = np.nonzero(np.triu(sims >= tau, 1))
+    else:
+        bi, bj = np.nonzero(sims >= tau)
+    a, b = ia[bi], ib[bj]
+    sw = a > b
+    a2 = np.where(sw, b, a)
+    b2 = np.where(sw, a, b)
+    return pa.table(
+        {"a": pa.array(a2), "b": pa.array(b2),
+         "cosine": pa.array(sims[bi, bj].astype(np.float64))}
+    )
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"a": pa.array(np.empty(0, np.int64)),
-                             "b": pa.array(np.empty(0, np.int64)),
-                             "cosine": pa.array(np.empty(0, np.float64))})
-        ids_all, m_all = ray.get(ref)
-        ids, emb = _batch_matrix(batch, dtype)
-        sims = _normalize(emb) @ m_all.T  # (B, N)
-        bi, aj = np.nonzero(sims >= tau)
-        a = ids[bi]
-        b = ids_all[aj]
-        keep = a < b
-        return pa.table(
-            {
-                "a": pa.array(a[keep]),
-                "b": pa.array(b[keep]),
-                "cosine": pa.array(sims[bi, aj][keep].astype(np.float64)),
-            }
-        )
 
-    return embeddings.map_batches(pairs, batch_format="pyarrow")
+def near_dup_cosine(embeddings, tau: float = 0.95, dtype=np.float32,
+                    block_rows: int = 8192):
+    """All pairs (a < b, cosine >= tau), EXACT.
+
+    The O(N^2) similarity matrix is tiled: the corpus is materialized as
+    object-store blocks of ``block_rows`` vectors and one Ray task computes
+    each (i, j<=i) block pair — no worker ever holds more than two blocks,
+    and nothing is broadcast.  The inherent quadratic work is the price of
+    exactness; :func:`near_dup_cosine_lsh` is the sub-quadratic approximate
+    path.  ``dtype=np.float64`` for oracle-grade comparisons against SQL
+    twins."""
+    blocks = []
+    for batch in embeddings.select_columns(["vec_id", "embedding"]).iter_batches(
+        batch_format="pyarrow", batch_size=block_rows
+    ):
+        ids, emb = _batch_matrix(batch, np.float32)
+        blocks.append(ray.put((ids, emb)))
+    futs = []
+    for i in range(len(blocks)):
+        for j in range(i + 1):
+            futs.append(_block_pair_cosine.remote(
+                blocks[i], blocks[j], i == j, tau, np.dtype(dtype).name
+            ))
+    import ray.data as rd
+
+    return rd.from_arrow_refs(futs)
