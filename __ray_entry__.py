@@ -390,9 +390,9 @@ def _q_cc_components(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.io import read_parquet_sized
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_parquet_sized(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _q_doc_token_counts(sf_dir: str):
@@ -453,9 +453,9 @@ def _q_doc_simhash_pairs(sf_dir: str):
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.io import read_parquet_sized
 
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_sized(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _q_ann_top3(sf_dir: str):

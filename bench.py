@@ -144,7 +144,11 @@ def run_bench() -> dict:
     triangle_count(derived_edges(SF), V)
     q["triangles"] = time.perf_counter() - t0
 
-    docs = rd.read_parquet(os.path.join(SF, "documents.parquet"))
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.io import (
+        read_parquet_sized,
+    )
+
+    docs = read_parquet_sized(os.path.join(SF, "documents.parquet"))
     t0 = time.perf_counter()
     token_counts(docs).count()
     quality_scores(docs).count()
@@ -155,7 +159,7 @@ def run_bench() -> dict:
     minhash_lsh_pairs(docs, threshold=0.5, concurrency=max(2, NCPU // 4)).count()
     q["minhash"] = time.perf_counter() - t0
 
-    emb = rd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    emb = read_parquet_sized(os.path.join(SF, "embeddings.parquet"))
     qdf = emb.limit(32).to_pandas()
     queries = np.vstack(qdf["embedding"].to_numpy()).astype(np.float32)
     t0 = time.perf_counter()

@@ -29,10 +29,11 @@ _EDGE_SQL = (
 
 
 def derived_edges(sf_dir: str):
-    """lineitem -> (src, dst) uint64 Dataset (column-pruned read)."""
-    import ray.data as rd
+    """lineitem -> (src, dst) uint64 Dataset (column-pruned, size-aware
+    read — see functions/io.py)."""
+    from ..functions.io import read_parquet_sized
 
-    li = rd.read_parquet(
+    li = read_parquet_sized(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
     )
