@@ -9,8 +9,10 @@
   hamming distance 1).  Approximate; recall measured against brute force in
   tests.  This is the scale path: per-query work drops from O(N) to
   O(N / 2^bits * multiprobe).
-- embedding-cosine near-dup: all-pairs >= tau via blocked matmul against the
-  broadcast corpus matrix (sandbox scale); LSH buckets bound it at scale.
+- embedding-cosine near-dup: EXACT all-pairs >= tau via triangular block
+  tiling (one Ray task per block pair over object-store blocks — nothing
+  broadcast, quadratic work inherent); the LSH-bucketed variant is the
+  sub-quadratic approximate path.
 """
 
 from __future__ import annotations
