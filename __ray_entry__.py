@@ -18,6 +18,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from pagerank_barrierfree_openmp_dynamic_ray.functions import sqltwins
 from pagerank_barrierfree_openmp_dynamic_ray.pipelines.derived import (
     V,
     derived_edge_sql,
@@ -153,8 +154,12 @@ def _q_lg_triangles(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# PageRank / components / labels (iterative — no SQL twin, rows-only check;
-# the exact-match / allclose verification lives in tests/ vs numpy oracles)
+# PageRank / components / labels.  The deterministic synchronous surfaces
+# (barrier static / dead / weighted, CC, LP) have exact DuckDB twins built as
+# UNROLLED sweep chains (functions/sqltwins.py); the asynchronous /
+# physical-plan-sensitive ones (barrierfree, frontier, hot-split) stay
+# rows-only with pytest oracles — their outputs are fixed-point-equal but not
+# bit-equal to a synchronous recompute.
 # ---------------------------------------------------------------------------
 
 def _pr_engine(sf_dir: str):
@@ -271,8 +276,8 @@ def _q_pr_dead_top20(sf_dir: str):
     """DEAD-mode (teleport) static PageRank on a NO-self-loop layout
     (``pagerankTeleport``, `src/pagerank.hxx:157-184`): dead-end rank mass
     is redistributed uniformly each iteration instead of being retained by
-    the self-loop trick.  Rows-only; engine-vs-numpy-teleport-oracle match
-    is pinned in tests/test_pagerank.py."""
+    the self-loop trick.  SQL-checked (unrolled teleport sweeps); the numpy
+    teleport oracle is additionally pinned in tests/test_pagerank.py."""
     import tempfile
 
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
@@ -296,8 +301,8 @@ def _q_pr_dead_top20(sf_dir: str):
 def _q_pr_weighted_top20(sf_dir: str):
     """Weighted static PageRank (the reference's weighted read path,
     `src/mtx.hxx:68-72`): derived edges carry w = (l_quantity % 5) + 1;
-    duplicate links sum.  Rows-only; weighted-vs-oracle match is pinned in
-    tests/test_weighted.py."""
+    duplicate links sum.  SQL-checked (unrolled weighted sweeps); the numpy
+    weighted oracle is additionally pinned in tests/test_weighted.py."""
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
         PageRankEngine,
     )
@@ -819,7 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_top_indegree": _q_lg_top_indegree,
         "lg_wdegree": _q_lg_wdegree,
         "lg_triangles": _q_lg_triangles,
-        # iterative graph algorithms (rows-only; pytest oracles)
+        # iterative graph algorithms (deterministic ones SQL-checked via
+        # unrolled sweep twins; async/plan-sensitive ones rows-only)
         "pr_top20": _q_pr_top20,
         "pr_barrierfree_top20": _q_pr_barrierfree_top20,
         "pr_dynamic_frontier_top20": _q_pr_dynamic_frontier_top20,
@@ -836,7 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_dedup_kept": _q_doc_dedup_kept,
-        # near-dup family (rows-only; pytest oracles)
+        # near-dup family (simhash/minhash SQL-checked; ngram SQL-checked)
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -845,7 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top3": _q_ann_lsh_top3,
         "ann_ivf_top3": _q_ann_ivf_top3,
         "emb_near_dup": _q_emb_near_dup,
-        # multimodal plumbing (rows-only; deterministic fake codec)
+        # multimodal plumbing (SQL-checked: deterministic payload pattern)
         "mm_image_stats": _q_mm_image_stats,
         "mm_audio_stats": _q_mm_audio_stats,
         "mm_frames": _q_mm_frames,
@@ -1013,4 +1019,24 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour
 """,
         "li_pruned_agg": "SELECT l_returnflag, COUNT(*) AS n_rows, "
         "SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
+        # ---- iterative twins (unrolled sweep chains; functions/sqltwins) ----
+        # PageRank stops at the first sweep with L-inf < 1e-10 — the twin
+        # reproduces the stopping RULE, so the unroll count only needs to
+        # exceed the stop sweep (43 at sf0.01; 80 = ~2x headroom)
+        "pr_top20": sqltwins.pagerank_sql(_E, V, 80),
+        "pr_dead_top20": sqltwins.pagerank_sql(_E, V, 80, dead=True),
+        "pr_weighted_top20": sqltwins.pagerank_sql(_WEIGHTED_E, V, 80,
+                                                   weighted=True),
+        # CC is monotone (any unroll >= convergence is exact; engine needs 32
+        # sweeps at sf0.01); LP unrolls exactly the engine's max_iter
+        "cc_components": sqltwins.cc_sql(_E, V, 64),
+        "lp_labels": sqltwins.lp_sql(_E, V, 20),
+        # exact brute-force pair twins (simhash banding is COMPLETE for
+        # hamming < bands; minhash banded recall asserted 1.0 on this corpus)
+        "doc_simhash_pairs": sqltwins.simhash_sql(3),
+        "doc_minhash_pairs": sqltwins.minhash_pairs_sql(0.5),
+        # deterministic payload regeneration (stages/multimodal._pattern)
+        "mm_image_stats": sqltwins.mm_image_sql(),
+        "mm_audio_stats": sqltwins.mm_audio_sql(),
+        "mm_frames": sqltwins.mm_frames_sql(),
     }

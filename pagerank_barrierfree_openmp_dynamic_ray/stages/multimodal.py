@@ -22,18 +22,27 @@ import numpy as np
 import pyarrow as pa
 
 
+def _pattern(n: int, seed: int, mod: int) -> np.ndarray:
+    """Deterministic quadratic-congruential byte/sample pattern.  Pure int64
+    arithmetic (every intermediate < 2^63 for n <= ~40k), so a DuckDB BIGINT
+    expression reproduces the payload contents exactly — the mm_* queries'
+    oracle SQL regenerates these values and checks the decoded stats
+    bit-for-bit (an RNG-based payload would leave the decode stages with
+    rows-only verification)."""
+    i = np.arange(n, dtype=np.int64)
+    return (i * i * 1103515245 + i * 12345 + np.int64(seed) * 2654435761) % (
+        2 ** 31
+    ) % mod
+
+
 def make_image_payload(w: int, h: int, seed: int) -> bytes:
-    rng = np.random.default_rng([seed, w, h])
-    return b"IMG!" + struct.pack("<HH", w, h) + rng.integers(0, 256, w * h).astype(np.uint8).tobytes()
+    px = _pattern(w * h, seed, 256).astype(np.uint8)
+    return b"IMG!" + struct.pack("<HH", w, h) + px.tobytes()
 
 
 def make_video_payload(nframes: int, frame_len: int, seed: int) -> bytes:
-    rng = np.random.default_rng([seed, nframes])
-    return (
-        b"VID!"
-        + struct.pack("<HH", nframes, frame_len)
-        + rng.integers(0, 256, nframes * frame_len).astype(np.uint8).tobytes()
-    )
+    data = _pattern(nframes * frame_len, seed, 256).astype(np.uint8)
+    return b"VID!" + struct.pack("<HH", nframes, frame_len) + data.tobytes()
 
 
 class DecodeImageStage:
@@ -120,8 +129,7 @@ class FrameSampleStage:
 
 def make_audio_payload(sample_rate: int, n_samples: int, seed: int) -> bytes:
     """AUD! + uint32 sample_rate + uint32 n_samples + int16 PCM samples."""
-    rng = np.random.default_rng([seed, sample_rate])
-    pcm = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
+    pcm = (_pattern(n_samples, seed, 65536) - 32768).astype(np.int16)
     return b"AUD!" + struct.pack("<II", sample_rate, n_samples) + pcm.tobytes()
 
 
