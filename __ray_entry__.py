@@ -367,27 +367,49 @@ def _q_lg_wdegree(sf_dir: str):
     return _i64(df[["vid", "deg"]])
 
 
-def _q_cc_components(sf_dir: str):
-    import pandas as pd
-    import ray.data as rd
+def _sym_layout(sf_dir: str):
     import tempfile
 
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
-        LabelEngine,
         symmetric_layout_from,
     )
 
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_sym")
-    lay = _cached_layout(out, lambda: symmetric_layout_from(
+    return _cached_layout(out, lambda: symmetric_layout_from(
         derived_layout(sf_dir), out
     ))
-    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
-    res = eng.connected_components()
-    eng.shutdown()
-    return pd.DataFrame(
-        {"vid": np.arange(V, dtype="int64"), "component": res.labels.astype("int64")}
+
+
+def _labels_df(sf_dir: str, algo: str, out_col: str):
+    """Run a label algorithm DATASET-NATIVELY (``collect=False`` — no dense
+    |V| vector on the driver, mirroring pr_top20's shape) and read the
+    per-partition label checkpoint back as the result table."""
+    import shutil
+    import tempfile
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
+        LabelEngine,
     )
+    from pagerank_barrierfree_openmp_dynamic_ray.state.checkpoint import (
+        labels_dataset,
+    )
+
+    eng = LabelEngine(_sym_layout(sf_dir), num_cpus_per_actor=0.25)
+    ck = tempfile.mkdtemp(prefix="graft_lab_ck_")
+    try:
+        res = getattr(eng, algo)(collect=False, checkpoint_dir=ck)
+        assert res.labels is None  # nothing dense ever reached the driver
+        df = labels_dataset(ck).to_pandas().sort_values("vid")
+        df = df.rename(columns={"label": out_col}).reset_index(drop=True)
+        return _i64(df)
+    finally:
+        eng.shutdown()
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def _q_cc_components(sf_dir: str):
+    return _labels_df(sf_dir, "connected_components", "component")
 
 
 # ---------------------------------------------------------------------------
@@ -494,25 +516,7 @@ def _q_ann_lsh_top3(sf_dir: str):
 
 
 def _q_lp_labels(sf_dir: str):
-    import pandas as pd
-    import tempfile
-
-    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
-        LabelEngine,
-        symmetric_layout_from,
-    )
-
-    out = os.path.join(tempfile.gettempdir(), "graft_layouts",
-                       os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_sym")
-    lay = _cached_layout(out, lambda: symmetric_layout_from(
-        derived_layout(sf_dir), out
-    ))
-    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
-    res = eng.label_propagation()
-    eng.shutdown()
-    return pd.DataFrame(
-        {"vid": np.arange(V, dtype="int64"), "label": res.labels.astype("int64")}
-    )
+    return _labels_df(sf_dir, "label_propagation", "label")
 
 
 def _q_doc_ngram_jaccard(sf_dir: str):

@@ -119,7 +119,7 @@ def symmetric_layout_from(layout: GraphLayout, out_dir: str) -> GraphLayout:
 
 @dataclass
 class LabelResult:
-    labels: np.ndarray  # dense, indexed by vid
+    labels: np.ndarray | None  # dense, indexed by vid (None if collect=False)
     iterations: int
     wall_s: float
 
@@ -166,7 +166,8 @@ class LabelEngine:
         modes[s_o[first]] = labl[order][first]  # every hot slot has >=1 edge
         return modes
 
-    def _iterate(self, step_name: str, max_iter: int) -> LabelResult:
+    def _iterate(self, step_name: str, max_iter: int, collect: bool,
+                 checkpoint_dir: str | None) -> LabelResult:
         t0 = time.perf_counter()
         ray.get([a.init_labels.remote() for a in self.actors])
         shard_refs = [a.label_shard.remote() for a in self.actors]
@@ -195,18 +196,40 @@ class LabelEngine:
             iters += 1
             if changed == 0:
                 break
+        if checkpoint_dir:
+            # each owner persists its own (vid, label) slice — consume via
+            # state.checkpoint.labels_dataset / component_sizes_topk
+            import os
+
+            from ..state.checkpoint import write_lineage
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            ray.get([a.write_label_checkpoint.remote(checkpoint_dir)
+                     for a in self.actors])
+            write_lineage(checkpoint_dir, iters, 0.0, "labels", step_name,
+                          self.layout.path, self.P, self.n)
+        if not collect:
+            # the dense |V| label vector never reaches the driver (at
+            # |V| = 10^9 it would be an 8 GB array) — the required shape
+            # once labels outgrow one machine, mirroring PageRank's
+            # run(collect=False)
+            return LabelResult(None, iters, time.perf_counter() - t0)
         shards = ray.get(list(shard_refs))
         out = np.empty(self.n, dtype=np.uint64)
         for p, sh in enumerate(shards):
             out[p:: self.P] = sh
         return LabelResult(out, iters, time.perf_counter() - t0)
 
-    def connected_components(self, max_iter: int = 10_000) -> LabelResult:
-        """Min-vid component labels, exact (converges in O(diameter))."""
-        return self._iterate("cc_step", max_iter)
+    def connected_components(self, max_iter: int = 10_000, collect: bool = True,
+                             checkpoint_dir: str | None = None) -> LabelResult:
+        """Min-vid component labels, exact (converges in O(diameter)).
+        ``collect=False`` skips the driver-dense label vector; pass
+        ``checkpoint_dir`` and read the result Dataset-natively."""
+        return self._iterate("cc_step", max_iter, collect, checkpoint_dir)
 
-    def label_propagation(self, max_iter: int = 20) -> LabelResult:
+    def label_propagation(self, max_iter: int = 20, collect: bool = True,
+                          checkpoint_dir: str | None = None) -> LabelResult:
         """Deterministic synchronous LP; stops when stable or at max_iter
         (synchronous LP can 2-cycle on bipartite structures — the cap is the
         standard remedy and part of the operator contract)."""
-        return self._iterate("lp_step", max_iter)
+        return self._iterate("lp_step", max_iter, collect, checkpoint_dir)

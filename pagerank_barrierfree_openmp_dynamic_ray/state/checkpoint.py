@@ -76,6 +76,41 @@ def rank_topk(ckpt_dir: str, k: int = 20):
     )
 
 
+def labels_dataset(ckpt_dir: str):
+    """Checkpointed (vid, label) slices as a Ray Dataset — the CC/LP
+    analogue of :func:`ranks_dataset` (LabelEngine ``collect=False``)."""
+    import glob
+
+    import ray.data as rd
+
+    return rd.read_parquet(sorted(glob.glob(os.path.join(ckpt_dir, "part-*.parquet"))))
+
+
+def component_sizes_topk(ckpt_dir: str, k: int = 20):
+    """Largest components/communities by member count, Dataset-natively:
+    per-batch (label, count) partials (one np.unique per block), then ONE
+    small groupby over the partials and a k-row sort — the shuffle carries
+    per-block distinct labels, never the |V| label table."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(lab, return_counts=True)
+        return pa.table({"label": pa.array(u.astype(np.int64)),
+                         "n_part": pa.array(c.astype(np.int64))})
+
+    return (
+        labels_dataset(ckpt_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n_part", alias_name="size"))
+        .sort(["size", "label"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def latest_checkpoint(root: str) -> str | None:
     """Newest complete checkpoint directory under ``root`` (one subdir per
     checkpointed iteration, named ``iter-N``; complete == has lineage.json)."""

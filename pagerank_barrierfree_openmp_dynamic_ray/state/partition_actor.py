@@ -645,6 +645,30 @@ class CsrPartitionActor:
         self.lab = new
         return self.lab, changed
 
+    def write_label_checkpoint(self, path: str) -> str:
+        """Owned (vid, label) -> one parquet file per partition — the
+        Dataset-native consumption path for CC/LP (the label twin of
+        ``write_checkpoint``: at |V| = 10^9 the dense label vector is an
+        8 GB driver array, so ``LabelEngine`` offers ``collect=False`` +
+        this slice-per-owner layout instead)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        t = pa.table(
+            {
+                "vid": pa.array(self.csr.owned_vids().astype(np.int64)),
+                "label": pa.array(self.lab),
+            }
+        )
+        f = os.path.join(path, f"part-{self.pid}.parquet")
+        tmp = f + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, f)
+        return f
+
     # -------------------------------------------------- checkpoint
     def write_checkpoint(self, path: str) -> str:
         """Owned (vid, rank, affected) -> one parquet file per partition —

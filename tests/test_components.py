@@ -204,3 +204,35 @@ def test_cc_lp_on_hot_split_layout(ray_session, tmp_path):
     finally:
         e_hot.shutdown()
         e_flat.shutdown()
+
+
+def test_labels_dataset_native(ray_session, tmp_path):
+    """collect=False + label checkpoint: the driver never holds the dense
+    |V| vector, yet the checkpointed Dataset and the top-component sizes
+    match the collected run exactly (the CC/LP twin of run(collect=False))."""
+    from pagerank_barrierfree_openmp_dynamic_ray.state.checkpoint import (
+        component_sizes_topk,
+        labels_dataset,
+        read_lineage,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    src = rng.integers(0, n, 250)
+    dst = rng.integers(0, n, 250)
+    lay = build_symmetric_layout(_ds(src, dst), str(tmp_path / "s"), 4, n_vertices=n)
+    eng = LabelEngine(lay, num_cpus_per_actor=0.25)
+    dense = eng.connected_components().labels
+    ck = str(tmp_path / "labck")
+    res = eng.connected_components(collect=False, checkpoint_dir=ck)
+    eng.shutdown()
+    assert res.labels is None
+    df = labels_dataset(ck).to_pandas().sort_values("vid")
+    np.testing.assert_array_equal(df["label"].to_numpy(), dense.astype(np.int64))
+    assert read_lineage(ck)["mode"] == "labels"
+    # top components by size, computed without any dense driver state
+    top = component_sizes_topk(ck, k=5).to_pandas()
+    labs, sizes = np.unique(dense, return_counts=True)
+    order = np.lexsort((labs, -sizes))[:5]
+    np.testing.assert_array_equal(top["label"].to_numpy(), labs[order].astype(np.int64))
+    np.testing.assert_array_equal(top["size"].to_numpy(), sizes[order])
