@@ -32,20 +32,43 @@ def build_symmetric_layout(edges, out_dir: str, num_partitions: int,
     return build_graph(sym, out_dir, num_partitions, n_vertices=n_vertices)
 
 
-def _symmetrize_part(layout_path: str, out_dir: str, p: int, span: int) -> int:
-    """One partition of :func:`symmetric_layout_from`: the symmetric in-edge
-    set of partition p is exactly edges_in/part=p ∪ reverse(edges_out/part=p)
-    (both already keyed so the result lands on dst%P==p), deduped locally.
-    By symmetry the out-edge table of p is the SAME rows with the columns
-    swapped, and out-degrees are the per-dst counts — no data ever leaves
-    the partition.  Returns the partition's edge count."""
+def _reshard_hot_part(hot_part_dir: str, tmp_dir: str, q: int, P: int) -> None:
+    """One ``edges_in_hot`` shard (keyed src%P==q) re-bucketed by dst%P so
+    each owner partition can pick up its hot in-edges locally during the
+    symmetric merge.  One read + one write of the hot table total across all
+    shards — the only data that moves, and it is exactly the skew tail."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    def read(sub):
-        d = os.path.join(layout_path, sub, f"part={p}")
+    if not os.path.isdir(hot_part_dir):
+        return
+    t = pq.read_table(hot_part_dir, columns=["src", "dst"])
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for p in np.unique(d % P):
+        out = os.path.join(tmp_dir, f"part={int(p)}")
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(t.filter(pa.array(d % P == p)),
+                       os.path.join(out, f"from-{q}.parquet"))
+
+
+def _symmetrize_part(layout_path: str, out_dir: str, p: int, span: int,
+                     hot_by_dst_dir: str | None = None) -> int:
+    """One partition of :func:`symmetric_layout_from`: the symmetric in-edge
+    set of partition p is exactly edges_in/part=p ∪ reverse(edges_out/part=p)
+    (both already keyed so the result lands on dst%P==p), deduped locally.
+    Hot-split layouts add the partition's slice of the dst-resharded hot
+    in-edges (``_reshard_hot_part``).  By symmetry the out-edge table of p is
+    the SAME rows with the columns swapped, and out-degrees are the per-dst
+    counts — no other data ever leaves the partition.  Returns the
+    partition's edge count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def read_dir(d):
         if not os.path.isdir(d):
             return (np.empty(0, np.uint64),) * 2
         t = pq.read_table(d, columns=["src", "dst"])
@@ -54,12 +77,17 @@ def _symmetrize_part(layout_path: str, out_dir: str, p: int, span: int) -> int:
             t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64),
         )
 
+    def read(sub):
+        return read_dir(os.path.join(layout_path, sub, f"part={p}"))
+
     si, di = read("edges_in")
     so, do = read("edges_out")
     sp = np.uint64(span)
-    keys = np.unique(
-        np.concatenate([si * sp + di, do * sp + so])  # reversed out-edges
-    )
+    fwd = [si * sp + di, do * sp + so]  # reversed out-edges
+    if hot_by_dst_dir is not None:
+        sh, dh = read_dir(os.path.join(hot_by_dst_dir, f"part={p}"))
+        fwd.append(sh * sp + dh)
+    keys = np.unique(np.concatenate(fwd))
     s, d = keys // sp, keys % sp
 
     def write(sub, tab):
@@ -84,31 +112,36 @@ def symmetric_layout_from(layout: GraphLayout, out_dir: str) -> GraphLayout:
     partitioned BOTH ways (edges_in by dst, edges_out by src), so the
     symmetric edge set of each partition is a purely local merge: zero
     shuffles, one parallel task per partition.  Self-loops carry over from
-    the base layout (it has one per vertex).  Hot-split layouts fall back
-    to the shuffle path (their in-edges are sharded by src)."""
+    the base layout (it has one per vertex).  Hot-split layouts pay ONE
+    extra pass over the (bounded) hot table — each src-keyed hot shard is
+    re-bucketed by dst%P so owners merge their hot in-edges locally; the
+    cold tables still never move."""
     import os
     import shutil
 
-    if layout.n_hot:
-        import ray.data as rd
-
-        cols = ["src", "dst"]
-        edges = rd.read_parquet(layout.edges_in, columns=cols).union(
-            rd.read_parquet(layout.edges_in_hot, columns=cols)
-        )
-        return build_symmetric_layout(
-            edges, out_dir, layout.num_partitions, n_vertices=layout.n_vertices
-        )
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
+    hot_tmp = None
+    if layout.n_hot:
+        hot_tmp = os.path.join(out_dir, "_hot_by_dst")
+        reshard = ray.remote(_reshard_hot_part)
+        ray.get([
+            reshard.remote(
+                os.path.join(layout.edges_in_hot, f"part={q}"),
+                hot_tmp, q, layout.num_partitions,
+            )
+            for q in range(layout.num_partitions)
+        ])
     task = ray.remote(_symmetrize_part)
     counts = ray.get(
         [
-            task.remote(layout.path, out_dir, p, layout.n_vertices)
+            task.remote(layout.path, out_dir, p, layout.n_vertices, hot_tmp)
             for p in range(layout.num_partitions)
         ]
     )
+    if hot_tmp is not None:
+        shutil.rmtree(hot_tmp, ignore_errors=True)
     sym = GraphLayout(
         out_dir, layout.n_vertices, int(sum(counts)), layout.num_partitions,
         0, None, False,

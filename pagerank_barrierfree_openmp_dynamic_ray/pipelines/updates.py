@@ -228,9 +228,16 @@ def apply_batch_to_layout(
     rewriting only the ``part=`` directories a batch endpoint touches and
     hard-linking every untouched partition into the new layout.  Cost is
     O(touched partitions), not O(|E|): a 0.1% batch no longer pays a full
-    dedup shuffle + three re-partitions.  Hot-split layouts fall back to the
-    full rebuild (the hot set is re-detected from shifted in-degrees)."""
-    if incremental and not layout.n_hot and layout.hot_in_threshold is None:
+    dedup shuffle + three re-partitions.
+
+    Hot-split layouts apply incrementally too, with a STICKY hot set: hotness
+    is a physical-layout property (membership in ``hot.npy`` is the exact
+    split predicate, not the live in-degree), so batch endpoints route by the
+    recorded set — hot-dst edges to ``edges_in_hot`` (src-keyed), the rest to
+    ``edges_in`` (dst-keyed) — and the edge SET stays identical to a full
+    rebuild.  A 0.1% batch cannot meaningfully shift the skew tail; pass
+    ``incremental=False`` to re-detect hot membership from scratch."""
+    if incremental:
         return _apply_batch_incremental(
             layout, out_dir, del_src, del_dst, ins_src, ins_dst
         )
@@ -421,14 +428,33 @@ def _apply_batch_incremental(
     del_keys = np.unique(ds_ * np.uint64(span) + dd_)
     restore_loops = np.unique(del_src[del_src == del_dst]).astype(np.uint64)
 
-    in_touch = np.unique(np.concatenate([dd_, ins_dst.astype(np.uint64)]) % np.uint64(P))
+    # hot routing (sticky hot set): in-edges with a HOT dst live in
+    # edges_in_hot keyed by src % P; everything else in edges_in keyed by
+    # dst % P.  A restored loop (v, v) lands at part v % P in either table,
+    # so the same modulus filter inside _rewrite_edge_part applies to both.
+    hot = layout.hot_vids() if layout.n_hot else np.empty(0, np.int64)
+    dh = np.isin(dd_.astype(np.int64), hot)
+    ih = np.isin(ins_dst.astype(np.int64), hot)
+    rh = np.isin(restore_loops.astype(np.int64), hot)
+
+    in_touch = np.unique(
+        np.concatenate([dd_[~dh], ins_dst.astype(np.uint64)[~ih]]) % np.uint64(P)
+    )
+    hot_touch = np.unique(
+        np.concatenate([ds_[dh], ins_src.astype(np.uint64)[ih]]) % np.uint64(P)
+    )
     out_touch = np.unique(np.concatenate([ds_, ins_src.astype(np.uint64)]) % np.uint64(P))
     rewrite = ray.remote(_rewrite_edge_part)
     futs, in_futs = [], []
-    for sub, key_is_dst, touched in (
-        ("edges_in", True, in_touch),
-        ("edges_out", False, out_touch),
-    ):
+    plans = [
+        ("edges_in", True, in_touch, ins_src[~ih], ins_dst[~ih],
+         restore_loops[~rh], True),
+        ("edges_out", False, out_touch, ins_src, ins_dst, restore_loops, False),
+    ]
+    if layout.n_hot:
+        plans.append(("edges_in_hot", False, hot_touch, ins_src[ih],
+                      ins_dst[ih], restore_loops[rh], True))
+    for sub, key_is_dst, touched, i_s, i_d, rl, is_in in plans:
         tset = set(int(t) for t in touched)
         for p in range(P):
             old_p = os.path.join(layout.path, sub, f"part={p}")
@@ -436,10 +462,10 @@ def _apply_batch_incremental(
             if p in tset:
                 f = rewrite.remote(
                     old_p, new_p, key_is_dst, p, P, span, del_keys,
-                    ins_src, ins_dst, restore_loops, layout.weighted,
+                    i_s, i_d, rl, layout.weighted,
                 )
                 futs.append(f)
-                if sub == "edges_in":
+                if is_in:
                     in_futs.append(f)
             elif os.path.isdir(old_p):
                 _link_tree(old_p, new_p)
@@ -469,9 +495,15 @@ def _apply_batch_incremental(
             _link_tree(old_p, new_p)
     ray.get(deg_fut)
 
+    if layout.n_hot:
+        hot_src = os.path.join(layout.path, "hot.npy")
+        try:
+            os.link(hot_src, os.path.join(out_dir, "hot.npy"))
+        except OSError:
+            shutil.copy2(hot_src, os.path.join(out_dir, "hot.npy"))
     new_layout = GraphLayout(
         out_dir, layout.n_vertices, layout.n_edges + delta, P,
-        0, None, layout.weighted,
+        layout.n_hot, layout.hot_in_threshold, layout.weighted,
     )
     new_layout.save()
     return new_layout

@@ -173,6 +173,51 @@ def test_symmetric_layout_from_matches_shuffle_path(ray_session, tmp_path):
     np.testing.assert_array_equal(r1.labels, want)
 
 
+def test_symmetric_layout_from_hot_split(ray_session, tmp_path):
+    """Hot-split layouts now take the per-partition merge path too (VERDICT
+    r02 item 5): the src-sharded hot in-edges are re-bucketed by dst once,
+    then each owner merges locally — same edge set, degrees and CC labels as
+    the full shuffle build, no fallback."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
+        symmetric_layout_from,
+    )
+
+    rng = np.random.default_rng(23)
+    n, m = 200, 1600
+    src = rng.integers(0, n, m).astype(np.uint64)
+    celeb = rng.integers(0, 6, m).astype(np.uint64)
+    dst = np.where(rng.random(m) < 0.3, celeb,
+                   rng.integers(0, n, m).astype(np.uint64))
+    base = gb.build_graph(_ds(src, dst), str(tmp_path / "base"), 3,
+                          n_vertices=n, hot_in_threshold=24)
+    assert base.n_hot > 0
+    fast = symmetric_layout_from(base, str(tmp_path / "fast"))
+    assert not os.path.isdir(os.path.join(fast.path, "_hot_by_dst"))
+    slow = build_symmetric_layout(_ds(src, dst), str(tmp_path / "slow"), 3,
+                                  n_vertices=n)
+    assert fast.n_edges == slow.n_edges
+
+    def read_pairs(lay, sub):
+        t = pq.read_table(os.path.join(lay.path, sub), columns=["src", "dst"])
+        return sorted(zip(t["src"].to_numpy(zero_copy_only=False).tolist(),
+                          t["dst"].to_numpy(zero_copy_only=False).tolist()))
+
+    for sub in ("edges_in", "edges_out"):
+        assert read_pairs(fast, sub) == read_pairs(slow, sub)
+    eng = LabelEngine(fast, num_cpus_per_actor=0.25)
+    try:
+        np.testing.assert_array_equal(
+            eng.connected_components().labels,
+            oracle.connected_components(src, dst, n),
+        )
+    finally:
+        eng.shutdown()
+
+
 def test_cc_lp_on_hot_split_layout(ray_session, tmp_path):
     """CC and LP on a layout built WITH hot-vertex splitting: the split
     vertices' min/mode must combine across the src-sharded partials and

@@ -266,6 +266,69 @@ def test_incremental_matches_full_rebuild_weighted(ray_session, tmp_path):
             np.testing.assert_allclose(g, w_)
 
 
+def test_incremental_matches_full_rebuild_hot_split(ray_session, tmp_path):
+    """Incremental apply on a HOT-SPLIT layout (VERDICT r02 item 2): the hot
+    set is sticky (membership in hot.npy is the split predicate), batch
+    endpoints route by recorded dst-hotness, and the resulting edge SET,
+    degree table and routing invariants match a full rebuild exactly."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    n, m = 300, 3000
+    src = rng.integers(0, n, m).astype(np.uint64)
+    # skew ~30% of edges onto 8 celebrity vertices so the split engages
+    celeb = rng.integers(0, 8, m).astype(np.uint64)
+    dst = np.where(rng.random(m) < 0.3, celeb, rng.integers(0, n, m).astype(np.uint64))
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    old = gb.build_graph(ds, str(tmp_path / "old"), num_partitions=3,
+                         n_vertices=n, hot_in_threshold=32)
+    assert old.n_hot > 0
+    s0, d0 = layout_edge_arrays(old)
+    ds_, dd_, is_, id_ = generate_batch(s0, d0, n, batch_size=60, seed=5)
+    # make sure the batch exercises BOTH routes
+    hot = old.hot_vids()
+    assert np.isin(id_, hot).any() and (~np.isin(id_, hot)).any()
+    inc = apply_batch_to_layout(old, str(tmp_path / "inc"), ds_, dd_, is_, id_)
+    full = apply_batch_to_layout(old, str(tmp_path / "full"), ds_, dd_, is_,
+                                 id_, incremental=False)
+    # logical edge set + count (full rebuild may re-detect a different hot
+    # set — the SPLIT is physical, the edge set must be identical)
+    si, di = layout_edge_arrays(inc)
+    sf, df = layout_edge_arrays(full)
+    np.testing.assert_array_equal(np.sort(si * n + di), np.sort(sf * n + df))
+    assert inc.n_edges == full.n_edges
+    # sticky hot metadata carried over
+    assert inc.n_hot == old.n_hot
+    assert inc.hot_in_threshold == old.hot_in_threshold
+    np.testing.assert_array_equal(inc.hot_vids(), hot)
+    # routing invariants per part: hot table rows have hot dst & src%P==p,
+    # cold rows have non-hot dst & dst%P==p
+    for p in range(3):
+        hp = os.path.join(inc.path, "edges_in_hot", f"part={p}")
+        if os.path.isdir(hp):
+            t = pq.read_table(hp, columns=["src", "dst"])
+            assert np.isin(t["dst"].to_numpy(zero_copy_only=False), hot).all()
+            assert (t["src"].to_numpy(zero_copy_only=False) % 3 == p).all()
+        cp = os.path.join(inc.path, "edges_in", f"part={p}")
+        if os.path.isdir(cp):
+            t = pq.read_table(cp, columns=["src", "dst"])
+            assert not np.isin(t["dst"].to_numpy(zero_copy_only=False), hot).any()
+            assert (t["dst"].to_numpy(zero_copy_only=False) % 3 == p).all()
+    # degrees identical (split-independent)
+    np.testing.assert_array_equal(
+        np.array(_layout_tables(inc)[2]), np.array(_layout_tables(full)[2])
+    )
+    # and the PageRank fixed point agrees with the numpy oracle on the set
+    s1, d1 = layout_edge_arrays(inc)
+    want, _ = pagerank_power(s1, d1, n)
+    eng = PageRankEngine(inc, num_cpus_per_actor=0.25)
+    try:
+        np.testing.assert_allclose(eng.run(mode="barrier").ranks, want, atol=1e-6)
+    finally:
+        eng.shutdown()
+
+
 def test_barrier_crash_stop_recovers(dyn, oracle_new, tmp_path):
     """With-barrier twin of test_barrierfree_crash_stop_bounded
     (`main.cxx:156-169`): a partition actor crash-stops mid-run via fault
