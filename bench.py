@@ -363,10 +363,29 @@ def run_faults() -> dict:
             row["barrier"]["wall_s"] / row["barrierfree"]["wall_s"], 2
         )
         grid[str(prob)] = row
+    # per-vertex stochastic CRASH grid (`main.cxx:156-169`, swept by
+    # `main.sh:33-42`): barrier mode rebuilds crashed partitions and still
+    # reaches the exact fixed point; barrier-free crash-stops them (last
+    # shard frozen on the board) and reports how far ranks drift — the
+    # reference's "most threads crashed, ranks still usable" result shape.
+    crash_grid = {}
+    for prob in (1e-7, 1e-6, 1e-5):
+        row = {}
+        for mode in ("barrier", "barrierfree"):
+            t0 = time.perf_counter()
+            res = eng.run(mode=mode, fault={"crash_prob": prob})
+            row[mode] = {
+                "wall_s": round(time.perf_counter() - t0, 2),
+                "iters": res.iterations,
+                "crashed_partitions": res.stats["crashed_partitions"],
+                "linf_err_vs_clean": float(np.abs(res.ranks - clean).max()),
+            }
+        crash_grid[f"{prob:g}"] = row
     eng.shutdown()
     out = {"metric": "fault_sleep_grid", "sleep_s": 0.05,
            "sleepy_partitions": sorted(sleepy), "partitions": P,
-           "num_cpus": NCPU, "grid": grid, "sf": SF}
+           "num_cpus": NCPU, "grid": grid, "crash_grid": crash_grid,
+           "sf": SF}
     ray.shutdown()
     return out
 

@@ -205,6 +205,7 @@ class PageRankEngine:
                              "~1e-7; raise tol or use float64")
         t0 = time.perf_counter()
         self._swept_vertices = None  # set by the superstep loop
+        self._crashed_parts = 0  # fault-injection crash count (both modes)
         self._scatter_q(q, rank_dtype)
         ray.get([a.set_frontier_mode.remote(frontier_on) for a in self.actors])
         if frontier is not None:
@@ -245,7 +246,8 @@ class PageRankEngine:
             variant=variant,
             stats={"num_partitions": self.P, "n_vertices": self.n,
                    "n_edges": self.layout.n_edges,
-                   "swept_vertices": getattr(self, "_swept_vertices", None)},
+                   "swept_vertices": getattr(self, "_swept_vertices", None),
+                   "crashed_partitions": getattr(self, "_crashed_parts", 0)},
         )
 
     # ------------------------------------------------------------------
@@ -291,7 +293,8 @@ class PageRankEngine:
                 for p, a in enumerate(self.actors)
             ]
             shard_refs = [f[0] for f in futs]
-            if fault and fault.get("crash_at") is not None:
+            if fault and (fault.get("crash_at") is not None
+                          or fault.get("crash_prob")):
                 # crash-stop path: fetch stats per actor so one death does
                 # not poison the barrier; rebuild and REDO the iteration
                 # (survivors' extra sweep is harmless — power iteration
@@ -303,6 +306,7 @@ class PageRankEngine:
                     except ray.exceptions.RayActorError:
                         died.append(p)
                 if died:
+                    self._crashed_parts += len(died)
                     fault = dict(fault)
                     fault["pids"] = set(fault.get("pids", range(self.P))) - set(died)
                     # survivors swept this iteration: their frontier marks
@@ -413,6 +417,7 @@ class PageRankEngine:
         ]
         infos = ray.get(futs)
         iters = max(i["iterations"] for i in infos)  # threadInfosMaxIteration
+        self._crashed_parts = sum(1 for i in infos if i.get("crashed"))
         if ck is not None:
             write_lineage(ck, iters, float("nan"), "barrierfree", variant,
                           self.layout.path, self.P, self.n)

@@ -292,6 +292,35 @@ class _ShardedBoardView:
         return ray.get(self.coord.dead_exchange.remote(self.pid, mass))
 
 
+def _fault_draw(fault: dict, rng, it: int, n_owned: int) -> bool:
+    """One per-sweep fault draw; returns True -> crash-stop this partition.
+
+    The reference injects faults PER VERTEX inside the rank loop
+    (`main.cxx:137-169`: crash with probability ``crash_prob`` and sleep
+    ``sleep_s`` with probability ``sleep_prob_v`` at each vertex; the grid in
+    `main.sh:33-42` sweeps those probabilities).  The vectorized equivalent
+    over a partition's ``n_owned`` vertices: total sleep this sweep is
+    ``Binomial(n_owned, sleep_prob_v) * sleep_s`` and a crash fires with
+    probability ``1 - (1 - crash_prob)^n_owned`` — identical distribution to
+    per-vertex draws, one rng call instead of n.  The per-PARTITION knobs
+    (``sleep_prob`` per sweep, ``crash_at`` a fixed local iteration) remain
+    for deterministic tests."""
+    if fault.get("crash_at") is not None and it >= fault["crash_at"]:
+        return True
+    p = fault.get("crash_prob")
+    if p and rng.random() < -np.expm1(n_owned * np.log1p(-p)):
+        return True
+    sleep_s = fault.get("sleep_s", 0.05)
+    if fault.get("sleep_prob") and rng.random() < fault["sleep_prob"]:
+        time.sleep(sleep_s)
+    pv = fault.get("sleep_prob_v")
+    if pv:
+        k = int(rng.binomial(n_owned, pv))
+        if k:
+            time.sleep(k * sleep_s)
+    return False
+
+
 @ray.remote
 class CsrPartitionActor:
     """Holds one partition's CSR block + rank/flag vectors.
@@ -446,16 +475,11 @@ class CsrPartitionActor:
         RayActorError and must rebuild — the with-barrier recovery twin of
         ``run_async``'s crashed flag."""
         if fault:
-            if (
-                fault.get("crash_at") is not None
-                and self._step_count >= fault["crash_at"]
-            ):
+            if not hasattr(self, "_fault_rng"):
+                self._fault_rng = np.random.default_rng([self.pid, 987])
+            if _fault_draw(fault, self._fault_rng, self._step_count,
+                           self.csr.n_owned):
                 ray.actor.exit_actor()
-            if fault.get("sleep_prob"):
-                if not hasattr(self, "_fault_rng"):
-                    self._fault_rng = np.random.default_rng([self.pid, 987])
-                if self._fault_rng.random() < fault["sleep_prob"]:
-                    time.sleep(fault.get("sleep_s", 0.05))
         self._step_count += 1
         if shard_refs is None:
             cvals = self._cvals
@@ -495,9 +519,13 @@ class CsrPartitionActor:
         """Barrier-free local loop (`src/pagerankBarrierfree.hxx:213-235`).
 
         Publishes/fetches through the board each sweep; no two partitions are
-        ever synchronized.  ``fault``: optional dict with ``sleep_prob`` /
-        ``sleep_s`` / ``crash_at`` mirroring the reference's uniform
-        thread-failure injection (`main.cxx:137-169`).
+        ever synchronized.  ``fault``: optional dict — per-vertex
+        ``crash_prob`` / ``sleep_prob_v`` (the reference's stochastic model,
+        `main.cxx:137-169`, see :func:`_fault_draw`) plus the deterministic
+        per-partition ``sleep_prob`` / ``sleep_s`` / ``crash_at`` knobs.  A
+        crashed partition stops sweeping (crash-stop) — its last published
+        shard stays on the board and survivors converge around it, the
+        reference's crashed-thread shape.
         """
         csr = self.csr
         it = 0
@@ -512,12 +540,9 @@ class CsrPartitionActor:
         my_ref = ray.put(self.shard())
         refs, stop, mail = view.exchange(my_ref, False, 0, {})
         while it < max_iter and not stop:
-            if fault:
-                if fault.get("crash_at") is not None and it >= fault["crash_at"]:
-                    crashed = True
-                    break
-                if fault.get("sleep_prob") and rng.random() < fault["sleep_prob"]:
-                    time.sleep(fault.get("sleep_s", 0.05))
+            if fault and _fault_draw(fault, rng, it, csr.n_owned):
+                crashed = True
+                break
             for arr in mail:
                 self.vaff[arr] = True
             # a peer that has not published its first shard yet contributes

@@ -180,6 +180,49 @@ def test_barrierfree_crash_stop_bounded(new_engine, oracle_new):
     np.testing.assert_allclose(rec.ranks, oracle_new, atol=1e-6)
 
 
+def test_stochastic_vertex_faults_barrier(dyn, oracle_new):
+    """Per-vertex stochastic fault model (`main.cxx:156-169`, grid
+    `main.sh:33-42`): crash_prob per VERTEX per sweep.  Under a barrier, a
+    crashed partition is rebuilt and the run still reaches the exact fixed
+    point; per-vertex sleeps merely slow sweeps down."""
+    _, new, _, _ = dyn
+    eng = PageRankEngine(new, num_cpus_per_actor=0.25)
+    try:
+        # n_owned = 100 -> crash fires with 1-(1-p)^100 ~= 18% per sweep
+        res = eng.run(mode="barrier",
+                      fault={"crash_prob": 2e-3, "sleep_prob_v": 1e-3,
+                             "sleep_s": 0.002})
+        np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+    finally:
+        eng.shutdown()
+
+
+def test_stochastic_vertex_faults_barrierfree(new_engine, oracle_new):
+    """Barrier-free under the per-vertex model: crashed partitions
+    crash-stop (last shard stays on the board), survivors terminate
+    bounded, and a warm-started recovery reaches the fixed point — the
+    reference's crashed-thread result shape."""
+    res = new_engine.run(
+        mode="barrierfree", max_iter=40,
+        fault={"crash_prob": 5e-3, "sleep_prob_v": 1e-3, "sleep_s": 0.002},
+    )
+    assert res.iterations <= 40
+    rec = new_engine.run(mode="barrier", q=res.ranks)
+    np.testing.assert_allclose(rec.ranks, oracle_new, atol=1e-6)
+
+
+def test_stochastic_faults_rank_quality_reference_rate(new_engine, oracle_new):
+    """At the reference's published rate (crash p = 1e-5 per vertex,
+    `main.sh:38`): crashed partitions freeze their last published shard, so
+    barrier-free ranks stay CLOSE to the true fixed point — the reference's
+    '56/64 threads crashed, ranks still usable' result shape — while the
+    error is genuinely nonzero when a crash fired."""
+    res = new_engine.run(mode="barrierfree", fault={"crash_prob": 1e-5})
+    err = float(np.abs(res.ranks - oracle_new).max())
+    assert err < 1e-3, err
+    assert np.isfinite(res.ranks).all() and res.ranks.sum() > 0.5
+
+
 def test_rank_topk_dataset_native(new_engine, oracle_new, tmp_path):
     """Dataset-native top-k over a checkpoint equals the numpy top-k."""
     from pagerank_barrierfree_openmp_dynamic_ray.state.checkpoint import rank_topk
