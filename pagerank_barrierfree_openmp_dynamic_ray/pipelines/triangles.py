@@ -79,9 +79,25 @@ def _wedge_pairs(u: np.ndarray, v: np.ndarray, okey_v: np.ndarray,
         yield a.ravel().astype(np.uint64) * n + b.ravel().astype(np.uint64)
 
 
+DENSE_DEGREE_LIMIT = 100_000_000
+
+
 def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
-                   broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT) -> int:
-    """Exact global triangle count of the simple undirected view."""
+                   broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT,
+                   dense_degree_limit: int = DENSE_DEGREE_LIMIT) -> int:
+    """Exact global triangle count of the simple undirected view.
+
+    Orientation keys (``deg*(n+1)+vid``) are attached AS A COLUMN during the
+    orient step, so the wedge stages never need a degree lookup.  Two
+    physical plans for the attach:
+      - dense broadcast (|V| <= dense_degree_limit): the int64 degree vector
+        ships once via ``ray.put`` (~0.8 GB at 10^8 vertices) — fastest at
+        sandbox-to-midsize scale;
+      - lookup join (scale path): the distributed (vid, deg) table is
+        hash-split into object-store partitions and joined onto each pair
+        endpoint (``stages.dedup.partition_side_table``/``_lookup_join``) —
+        no |V|-dense array ever materializes on the driver.
+    """
     und = _undirected_pairs(edges).materialize()
 
     # undirected degrees: bincount partials + vid%P-keyed shuffle with a
@@ -108,24 +124,16 @@ def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
         deg_sum = np.bincount(inv, weights=c, minlength=len(uv)).astype(np.int64)
         return pa.table({"vid": pa.array(uv), "deg": pa.array(deg_sum)})
 
-    degt = (
+    degs = (
         und.map_batches(degp, batch_format="pyarrow")
         .groupby("part")
         .map_groups(sum_part, batch_format="pyarrow")
-        .to_pandas()
     )
-    deg = np.zeros(n_vertices, dtype=np.int64)
-    deg[degt["vid"].to_numpy()] = degt["deg"].to_numpy()
-    deg_ref = ray.put(deg)
     n = np.uint64(n_vertices)
     P = num_partitions
+    span1 = np.int64(n_vertices + 1)
 
-    def orient(batch: pa.Table) -> pa.Table:
-        dg = ray.get(deg_ref)
-        a = batch["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ka = dg[a] * np.int64(n_vertices + 1) + a
-        kb = dg[b] * np.int64(n_vertices + 1) + b
+    def finish_orient(a, b, ka, kb):
         fwd = ka < kb
         u = np.where(fwd, a, b)
         v = np.where(fwd, b, a)
@@ -133,11 +141,43 @@ def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
             {
                 "u": pa.array(u.astype(np.uint64)),
                 "v": pa.array(v.astype(np.uint64)),
+                # orientation key of the far endpoint rides along so wedge
+                # generation/closure never consults a degree table again
+                "okey_v": pa.array(np.where(fwd, kb, ka).astype(np.int64)),
                 "part": pa.array((u % P).astype(np.int32)),
             }
         )
 
-    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    if n_vertices <= dense_degree_limit:
+        degt = degs.to_pandas()
+        deg = np.zeros(n_vertices, dtype=np.int64)
+        deg[degt["vid"].to_numpy()] = degt["deg"].to_numpy()
+        deg_ref = ray.put(deg)
+
+        def orient(batch: pa.Table) -> pa.Table:
+            dg = ray.get(deg_ref)
+            a = batch["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return finish_orient(a, b, dg[a] * span1 + a, dg[b] * span1 + b)
+
+        oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        from ..stages.dedup import _lookup_join, partition_side_table
+
+        side = partition_side_table(degs, key_col="vid", num_partitions=DP)
+        j = _lookup_join(und, side, "lo", "deg", "dlo", ["lo", "hi"],
+                         num_partitions=DP, side_key="vid")
+        j = _lookup_join(j, side, "hi", "deg", "dhi", ["lo", "hi", "dlo"],
+                         num_partitions=DP, side_key="vid")
+
+        def orient(batch: pa.Table) -> pa.Table:
+            a = batch["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = batch["dlo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            db = batch["dhi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return finish_orient(a, b, da * span1 + a, db * span1 + b)
+
+        oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
     n_edges = oriented.count()
 
     if n_edges <= broadcast_edge_limit:
@@ -162,10 +202,9 @@ def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
 
         def count_part(group: pa.Table) -> pa.Table:
             ek = ray.get(ekey_ref)
-            dg = ray.get(deg_ref)
             u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
             v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-            okey = dg[v] * np.int64(n_vertices + 1) + v
+            okey = group["okey_v"].to_numpy(zero_copy_only=False)
             tri = 0
             for keys in _wedge_pairs(u, v, okey, n):
                 pos = np.searchsorted(ek, keys)
@@ -180,10 +219,9 @@ def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
 
     # ---- shuffle closure (scale path): one native aggregate ----
     def wedge_rows(group: pa.Table) -> pa.Table:
-        dg = ray.get(deg_ref)
         u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        okey = dg[v] * np.int64(n_vertices + 1) + v
+        okey = group["okey_v"].to_numpy(zero_copy_only=False)
         keys = [k for k in _wedge_pairs(u, v, okey, n)]
         key = np.concatenate(keys) if keys else np.empty(0, np.uint64)
         return pa.table(

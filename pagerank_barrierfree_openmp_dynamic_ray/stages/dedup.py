@@ -289,9 +289,10 @@ def partition_side_table(side_ds, key_col: str = "doc_id",
 
 def _lookup_join(cand, side_parts: list[list], pair_col: str,
                  value_col: str, out_col: str, keep: list[str],
-                 num_partitions: int = 32, dedup_keys: tuple | None = None):
+                 num_partitions: int = 32, dedup_keys: tuple | None = None,
+                 side_key: str = "doc_id"):
     """Distributed lookup join: attach ``side[value_col]`` (keyed by
-    ``doc_id``) to every candidate-pair row on ``pair_col``.  Pairs are
+    ``side_key``) to every candidate-pair row on ``pair_col``.  Pairs are
     co-located by ONE plain ``groupby(pair_col % P)``; each resolve fetches
     ONLY its partition of the pre-split side table (``side_parts`` from
     :func:`partition_side_table`) and probes it with a sorted searchsorted.
@@ -312,7 +313,7 @@ def _lookup_join(cand, side_parts: list[list], pair_col: str,
     def resolve(group: pa.Table) -> pa.Table:
         p = int(group["part"][0].as_py())
         side = pa.concat_tables(ray.get(side_parts[p]))
-        sk = side["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = side[side_key].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(sk, kind="stable")
         sk = sk[order]
         vals = side[value_col].combine_chunks().take(pa.array(order))

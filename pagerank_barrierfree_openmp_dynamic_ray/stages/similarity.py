@@ -104,13 +104,28 @@ def lsh_topk(embeddings, queries: np.ndarray, k: int = 10, bits: int = 6,
         dim = q.shape[1]
     lsh = HyperplaneLsh(dim, bits)
     qcodes = lsh.codes(q)
-    # probe set per bucket: which queries probe it
-    probe: dict[int, list[int]] = {}
-    all_codes = np.arange(1 << bits)
-    for qi, c in enumerate(qcodes):
-        ham = np.array([bin(int(c) ^ int(x)).count("1") for x in all_codes])
-        for cand in all_codes[ham <= multiprobe]:
-            probe.setdefault(int(cand), []).append(qi)
+    # probe set per bucket: which queries probe it.  Enumerate each query's
+    # hamming-<=m neighborhood DIRECTLY via XOR flip masks — sum_{i<=m}
+    # C(bits,i) masks per query (137 at bits=16, m=2), never a scan of all
+    # 2^bits codes (the r02 driver-loop trap at bits >= 16)
+    from itertools import combinations
+
+    masks = np.array(
+        [
+            sum(1 << b for b in combo)
+            for i in range(multiprobe + 1)
+            for combo in combinations(range(bits), i)
+        ],
+        dtype=np.int64,
+    )
+    cand = (qcodes[:, None] ^ masks[None, :]).ravel()
+    qi = np.repeat(np.arange(len(qcodes), dtype=np.int64), len(masks))
+    order = np.argsort(cand, kind="stable")
+    buckets, starts = np.unique(cand[order], return_index=True)
+    probe: dict[int, list[int]] = {
+        int(b): s.tolist()
+        for b, s in zip(buckets, np.split(qi[order], starts[1:]))
+    }
     qref = ray.put((q, probe))
 
     def tag(batch: pa.Table) -> pa.Table:

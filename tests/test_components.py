@@ -109,6 +109,20 @@ def test_triangles_shuffle_plan_matches_broadcast(ray_session):
     assert triangle_count(ds, n, broadcast_edge_limit=0) == want
 
 
+def test_triangles_distributed_degree_join(ray_session):
+    """dense_degree_limit=0 forces the lookup-join orientation (no |V|-dense
+    degree vector on the driver); both closure plans still count exactly."""
+    rng = np.random.default_rng(12)
+    n = 100
+    src = np.concatenate([rng.integers(0, n, 600), np.zeros(40, np.int64)])
+    dst = np.concatenate([rng.integers(0, n, 600), rng.integers(0, n, 40)])
+    ds = _ds(src, dst)
+    want = oracle.triangle_count(src, dst, n)
+    assert triangle_count(ds, n, dense_degree_limit=0) == want
+    assert triangle_count(ds, n, dense_degree_limit=0,
+                          broadcast_edge_limit=0) == want
+
+
 def test_label_propagation_large_id_space(ray_session, tmp_path):
     """Regression: lp_step's (vertex, label) key packing must be int64 —
     with int32 local slots and n_vertices > ~131k/P the product wrapped

@@ -171,6 +171,21 @@ def test_lsh_topk_recall(emb):
         assert pdf["vec_id"].iloc[qi] in set(got[got["qid"] == qi]["vec_id"])
 
 
+def test_lsh_topk_wide_codes(emb):
+    """bits=16 (65k buckets): the flip-mask probe enumeration must stay
+    O(Q * C(bits,<=m)) — no scan of all 2^bits codes — and the self-vector
+    still lands in a probed bucket for every query."""
+    import time as _t
+
+    pdf = emb.to_pandas()
+    queries = np.vstack(pdf["embedding"].to_numpy()[:10]).astype(np.float32)
+    t0 = _t.perf_counter()
+    got = similarity.lsh_topk(emb, queries, k=5, bits=16, multiprobe=2).to_pandas()
+    assert _t.perf_counter() - t0 < 30  # driver map build is sub-second
+    for qi in range(10):
+        assert pdf["vec_id"].iloc[qi] in set(got[got["qid"] == qi]["vec_id"])
+
+
 def test_near_dup_cosine(emb):
     pdf = emb.to_pandas()
     m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float32)
