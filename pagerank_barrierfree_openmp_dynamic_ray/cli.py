@@ -10,6 +10,9 @@ inputs and run the same sweeps:
   python -m pagerank_barrierfree_openmp_dynamic_ray sweep GRAPH.mtx \
       [--batch-fractions 1e-4,1e-3] [--repeat 5] [--partitions P]
 
+  python -m pagerank_barrierfree_openmp_dynamic_ray threads GRAPH.mtx \
+      [--pool-sizes 2,4,8] [--repeat 3]
+
 ``run`` builds the layout (cached per input + params under --work) and runs
 one technique, printing a reference-style result line
 (``{time_ms} ms, {iters} iters ... technique``) plus a JSON line.
@@ -153,6 +156,57 @@ def cmd_sweep(args) -> None:
     ray.shutdown()
 
 
+def cmd_threads(args) -> None:
+    """``runThreads`` analogue (`main.cxx:127-134`, swept by `main.sh:20`):
+    the reference re-runs each technique at several OpenMP thread counts; the
+    engine's parallel unit is the partition-actor pool, so this sweeps
+    POOL SIZES over the same input and logs edges/s per level plus the
+    scaling efficiency vs the smallest pool.  Note: Ray's ``num_cpus`` is
+    admission control, not a hard CPU cage — for host-CPU scaling evidence
+    use ``bench.py --scaling`` (taskset protocol, see BASELINE.md)."""
+    import numpy as np
+    import ray
+
+    from .pipelines.pagerank import PageRankEngine
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    sizes = sorted(int(s) for s in args.pool_sizes.split(","))
+    rows = []
+    for P in sizes:
+        lay = _layout_for(args.graph, P, args.work, add_loops=True)
+        eng = PageRankEngine(lay, num_cpus_per_actor=args.num_cpus / (P + 1))
+        try:
+            for mode in ("barrier", "barrierfree"):
+                # median-of-repeat like the reference's repeated runs
+                walls, iters = [], 0
+                for _ in range(args.repeat):
+                    res = eng.run(mode=mode, tol=args.tol)
+                    walls.append(res.wall_s)
+                    iters = res.iterations
+                wall = float(np.median(walls))
+                eps = iters * lay.n_edges / wall if wall else 0.0
+                print(_result_line(f"{mode} pool={P}", res))
+                rows.append({
+                    "pool_size": P, "mode": mode, "iterations": iters,
+                    "wall_s": round(wall, 4),
+                    "edges_per_s": round(eps, 1),
+                })
+                print(json.dumps(rows[-1]))
+        finally:
+            eng.shutdown()
+    base = {r["mode"]: r for r in rows if r["pool_size"] == sizes[0]}
+    for r in rows:
+        b = base[r["mode"]]
+        ratio = sizes[0] and r["pool_size"] / sizes[0]
+        speed = r["edges_per_s"] / b["edges_per_s"] if b["edges_per_s"] else 0
+        r["scaling_eff_vs_smallest"] = round(speed / ratio, 3) if ratio else None
+    print(json.dumps({"metric": "pool_size_sweep", "graph": args.graph,
+                      "num_cpus": args.num_cpus, "rows": rows}))
+    ray.shutdown()
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(
         prog="pagerank_barrierfree_openmp_dynamic_ray",
@@ -186,6 +240,15 @@ def main(argv=None) -> None:
     s.add_argument("--tol", type=float, default=1e-10)
     s.add_argument("--seed", type=int, default=42)
     s.set_defaults(fn=cmd_sweep)
+
+    t = sub.add_parser(
+        "threads", help="runThreads: re-run both protocols at several "
+        "actor-pool sizes, log edges/s + scaling efficiency")
+    t.add_argument("graph")
+    t.add_argument("--pool-sizes", default="2,4,8")
+    t.add_argument("--repeat", type=int, default=3)
+    t.add_argument("--tol", type=float, default=1e-10)
+    t.set_defaults(fn=cmd_threads)
 
     args = ap.parse_args(argv)
     os.makedirs(args.work, exist_ok=True)

@@ -49,3 +49,26 @@ def test_cli_sweep_logs_six_techniques(tmp_path):
     assert len(recs) == 6  # the six reference entry points, main.cxx:209-225
     # every technique converged to the per-batch golden run s0
     assert all(r["linf_err_vs_s0"] < 1e-5 for r in recs)
+
+
+def test_cli_threads_pool_sweep(tmp_path):
+    """runThreads analogue: both protocols at each pool size with edges/s
+    and a scaling-efficiency summary row."""
+    p = tmp_path / "g.mtx"
+    _write_mtx(p)
+    out = subprocess.run(
+        [sys.executable, "-m", "pagerank_barrierfree_openmp_dynamic_ray",
+         "--num-cpus", "4", "--work", str(tmp_path / "w"),
+         "threads", str(p), "--pool-sizes", "2,3", "--repeat", "1",
+         "--tol", "1e-8"],
+        capture_output=True, text=True, timeout=600, check=True,
+    ).stdout
+    recs = [json.loads(l) for l in out.strip().splitlines()
+            if l.startswith("{")]
+    summary = recs[-1]
+    assert summary["metric"] == "pool_size_sweep"
+    rows = summary["rows"]
+    assert {(r["pool_size"], r["mode"]) for r in rows} == {
+        (2, "barrier"), (2, "barrierfree"), (3, "barrier"), (3, "barrierfree")}
+    assert all(r["edges_per_s"] > 0 for r in rows)
+    assert all("scaling_eff_vs_smallest" in r for r in rows)
