@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode libraries (PIL / torchaudio / video codecs) are NOT in this
-container, so the codec boundary is a clearly marked stub: real libraries are
-import-tried in the actor ``__init__`` (once per actor, the correct place for
-model/codec loading); absent them, a deterministic header-parse fake decodes
-this module's synthetic payload format.  Everything Ray-side — schema, actor
-signature, per-stage batch size, output layout — is real and tested, so
-swapping in a real decoder changes only ``_decode_payload``.
+The decode libraries (PIL / soundfile / video codecs) are import-tried in the
+actor ``__init__`` (once per actor, the correct place for model/codec
+loading) and USED when present: a payload that does not carry this module's
+synthetic magic (``IMG!``/``AUD!``/``VID!``) is handed to the real decoder.
+Synthetic payloads always take the deterministic header-parse path, so the
+mm_* queries stay bit-exact against their DuckDB oracles whether or not the
+codec libraries are installed.  In this container neither library exists, so
+real-format payloads raise a clearly marked ``NotImplementedError``;
+everything Ray-side — schema, actor signature, per-stage batch size, output
+layout — is identical on both branches.
 
 Synthetic payload formats (deterministic, self-describing):
   image: b"IMG!" + uint16 w + uint16 h + (w*h) raw bytes
@@ -16,6 +19,7 @@ Synthetic payload formats (deterministic, self-describing):
 
 from __future__ import annotations
 
+import io
 import struct
 
 import numpy as np
@@ -53,23 +57,25 @@ class DecodeImageStage:
     binary (SURVEY memory-aware rule)."""
 
     def __init__(self):
-        try:  # real codec path — not available in this container
-            from PIL import Image  # noqa: F401
+        try:  # real codec path — absent in this container
+            from PIL import Image
 
-            self._real = True
+            self._image_cls = Image
         except ImportError:
-            self._real = False
+            self._image_cls = None
 
     def _decode_payload(self, payload: bytes) -> tuple[int, int, float]:
-        if self._real:  # pragma: no cover - container has no PIL
+        if payload[:4] == b"IMG!":  # synthetic payloads always parse locally
+            w, h = struct.unpack("<HH", payload[4:8])
+            px = np.frombuffer(payload[8: 8 + w * h], dtype=np.uint8)
+            return w, h, float(px.mean()) if len(px) else 0.0
+        if self._image_cls is None:
             raise NotImplementedError(
-                "real image decode: open with PIL and compute the same triple"
+                "real image decode needs PIL (not in this container)"
             )
-        if payload[:4] != b"IMG!":
-            raise ValueError("not an IMG! payload")
-        w, h = struct.unpack("<HH", payload[4:8])
-        px = np.frombuffer(payload[8: 8 + w * h], dtype=np.uint8)
-        return w, h, float(px.mean()) if len(px) else 0.0
+        img = self._image_cls.open(io.BytesIO(payload))  # pragma: no cover
+        px = np.asarray(img.convert("L"), dtype=np.uint8)
+        return img.width, img.height, float(px.mean()) if px.size else 0.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         triples = [self._decode_payload(p) for p in batch["payload"].to_pylist()]
@@ -140,24 +146,31 @@ class DecodeAudioStage:
     DecodeImageStage)."""
 
     def __init__(self):
-        try:  # pragma: no cover - container has no audio libs
-            import soundfile  # noqa: F401
+        try:  # real codec path — absent in this container
+            import soundfile
 
-            self._real = True
+            self._soundfile = soundfile
         except ImportError:
-            self._real = False
+            self._soundfile = None
 
     def _decode_payload(self, payload: bytes) -> tuple[int, float, float]:
-        if self._real:  # pragma: no cover
-            raise NotImplementedError(
-                "real audio decode: soundfile.read and compute the same triple"
+        if payload[:4] == b"AUD!":  # synthetic payloads always parse locally
+            sr, ns = struct.unpack("<II", payload[4:12])
+            pcm = np.frombuffer(payload[12: 12 + 2 * ns], dtype=np.int16)
+            rms = (
+                float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if ns else 0.0
             )
-        if payload[:4] != b"AUD!":
-            raise ValueError("not an AUD! payload")
-        sr, ns = struct.unpack("<II", payload[4:12])
-        pcm = np.frombuffer(payload[12: 12 + 2 * ns], dtype=np.int16)
-        rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if ns else 0.0
-        return sr, ns / sr if sr else 0.0, rms
+            return sr, ns / sr if sr else 0.0, rms
+        if self._soundfile is None:
+            raise NotImplementedError(
+                "real audio decode needs soundfile (not in this container)"
+            )
+        data, sr = self._soundfile.read(  # pragma: no cover
+            io.BytesIO(payload), dtype="int16", always_2d=True
+        )
+        pcm = data.astype(np.float64)
+        rms = float(np.sqrt(np.mean(pcm ** 2))) if pcm.size else 0.0
+        return sr, len(data) / sr if sr else 0.0, rms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         triples = [self._decode_payload(p) for p in batch["payload"].to_pylist()]

@@ -355,3 +355,52 @@ def test_distributed_kmeans_recall_at_10x(ray_session):
         hits += len(want & got)
         tot += len(want)
     assert hits / tot >= 0.8, f"recall {hits/tot:.2f}"
+
+
+def test_multimodal_real_payload_dispatch():
+    """A payload without the synthetic magic goes to the real-codec branch;
+    absent PIL/soundfile that branch is the documented NotImplementedError
+    seam, and synthetic payloads never touch it."""
+    img_stage = multimodal.DecodeImageStage()
+    aud_stage = multimodal.DecodeAudioStage()
+    # synthetic magic always parses locally, codec or no codec
+    w, h, m = img_stage._decode_payload(multimodal.make_image_payload(8, 4, seed=1))
+    assert (w, h) == (8, 4) and 0.0 <= m < 256.0
+    sr, dur, _ = aud_stage._decode_payload(multimodal.make_audio_payload(8000, 4000, seed=1))
+    assert sr == 8000 and dur == 0.5
+    if img_stage._image_cls is None:
+        with pytest.raises(NotImplementedError):
+            img_stage._decode_payload(b"\x89PNG\r\n\x1a\nnot-a-real-png")
+    if aud_stage._soundfile is None:
+        with pytest.raises(NotImplementedError):
+            aud_stage._decode_payload(b"RIFFnot-a-real-wav")
+
+
+def test_multimodal_real_image_decode():
+    """Real-codec branch (runs only where PIL is installed): a PNG decodes to
+    the same (width, height, mean-of-grayscale) triple the stub computes for
+    synthetic payloads."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    buf = _io.BytesIO()
+    PIL_Image.fromarray(px, mode="L").save(buf, format="PNG")
+    w, h, m = multimodal.DecodeImageStage()._decode_payload(buf.getvalue())
+    assert (w, h) == (8, 6)
+    np.testing.assert_allclose(m, px.mean())
+
+
+def test_multimodal_real_audio_decode():
+    """Real-codec branch (runs only where soundfile is installed): a WAV
+    decodes to the same (sample_rate, duration, rms) triple as the stub."""
+    sf = pytest.importorskip("soundfile")
+    import io as _io
+
+    pcm = (np.sin(np.linspace(0, 20, 8000)) * 20000).astype(np.int16)
+    buf = _io.BytesIO()
+    sf.write(buf, pcm, 16000, format="WAV", subtype="PCM_16")
+    sr, dur, rms = multimodal.DecodeAudioStage()._decode_payload(buf.getvalue())
+    assert sr == 16000
+    np.testing.assert_allclose(dur, 0.5)
+    np.testing.assert_allclose(rms, np.sqrt(np.mean(pcm.astype(np.float64) ** 2)), rtol=1e-6)
