@@ -155,11 +155,17 @@ def _q_lg_triangles(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # PageRank / components / labels.  The deterministic synchronous surfaces
-# (barrier static / dead / weighted, CC, LP) have exact DuckDB twins built as
-# UNROLLED sweep chains (functions/sqltwins.py); the asynchronous /
-# physical-plan-sensitive ones (barrierfree, frontier, hot-split) stay
-# rows-only with pytest oracles — their outputs are fixed-point-equal but not
-# bit-equal to a synchronous recompute.
+# (barrier static / dead / weighted / HOT-SPLIT, CC, LP) have exact DuckDB
+# twins built as UNROLLED sweep chains (functions/sqltwins.py) — hot-split
+# qualifies because splitting only re-partitions the pull sum, whose partial
+# results are reduced in a fixed slot order, so the trajectory is bit-equal
+# to the plain barrier run (measured: 0.0 max rank diff vs the twin over
+# repeated runs at sf0.01).  The asynchronous ones (barrierfree, frontier)
+# stay rows-only with pytest oracles: barrierfree lands within ~5e-10 of the
+# fixed point but NOT on the synchronous trajectory the SQL reproduces, so
+# any rounding coarse enough to absorb that noise makes a value-hash
+# comparison a coin flip (measured flake odds >20% at every useful digit
+# count) — fixed-point agreement is asserted in pytest instead.
 # ---------------------------------------------------------------------------
 
 def _pr_engine(sf_dir: str):
@@ -251,9 +257,10 @@ def _q_pr_dynamic_frontier_top20(sf_dir: str):
 def _q_pr_hot_split_top20(sf_dir: str):
     """Static PageRank on a layout built WITH hot-vertex splitting forced on
     (threshold 8 marks the top in-degree vertices hot on the derived graph).
-    Same fixed point as pr_top20 (ranks agree to ~1e-9; tie ORDER among
-    equal-ranked vids may differ — summation order changes with the physical
-    plan, SURVEY §7 hard part (b))."""
+    SQL-checked against the same unrolled-sweep twin as pr_top20: the split
+    re-partitions the pull sum but partials reduce in a fixed slot order, so
+    the trajectory — and hence the stopping sweep and the rounded ranks — is
+    bit-identical to the plain barrier run (measured 0.0 diff, repeated)."""
     import tempfile
 
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
@@ -828,8 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_top_indegree": _q_lg_top_indegree,
         "lg_wdegree": _q_lg_wdegree,
         "lg_triangles": _q_lg_triangles,
-        # iterative graph algorithms (deterministic ones SQL-checked via
-        # unrolled sweep twins; async/plan-sensitive ones rows-only)
+        # iterative graph algorithms (deterministic ones — incl. hot-split —
+        # SQL-checked via unrolled sweep twins; async ones rows-only)
         "pr_top20": _q_pr_top20,
         "pr_barrierfree_top20": _q_pr_barrierfree_top20,
         "pr_dynamic_frontier_top20": _q_pr_dynamic_frontier_top20,
@@ -1028,6 +1035,9 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour
         # reproduces the stopping RULE, so the unroll count only needs to
         # exceed the stop sweep (43 at sf0.01; 80 = ~2x headroom)
         "pr_top20": sqltwins.pagerank_sql(_E, V, 80),
+        # hot-split re-partitions the pull sum but reduces partials in a
+        # fixed slot order -> bit-identical trajectory, same twin applies
+        "pr_hot_split_top20": sqltwins.pagerank_sql(_E, V, 80),
         "pr_dead_top20": sqltwins.pagerank_sql(_E, V, 80, dead=True),
         "pr_weighted_top20": sqltwins.pagerank_sql(_WEIGHTED_E, V, 80,
                                                    weighted=True),
