@@ -321,8 +321,9 @@ def run_scaling() -> dict:
 def run_faults() -> dict:
     """Sleep-fault grid (the reference's suite 3, `main.sh:33-42` /
     `README.md:78-94`): with-barrier vs barrier-free wall time and rank
-    quality while half the partitions randomly sleep.  Under a barrier one
-    sleeping partition stalls everyone; barrier-free lets the rest keep
+    quality under the PER-VERTEX stochastic sleep model.  Under a barrier
+    the slowest sleeper stalls every superstep (wall adds the MAX of the
+    per-partition sleep draws each sweep); barrier-free lets the rest keep
     sweeping — the headline margin being reproduced."""
     import numpy as np
     import ray
@@ -346,10 +347,17 @@ def run_faults() -> dict:
     lay = build_graph(derived_edges(SF), os.path.join(WORK, "gf"), P, n_vertices=V)
     eng = PageRankEngine(lay, num_cpus_per_actor=max(1, (NCPU - 2) // P))
     clean = eng.run(mode="barrier").ranks
-    sleepy = set(range(0, P, 2))  # half the partitions
+    # per-VERTEX sleep model (`main.cxx:156-169`: sleep `sleep_s` with
+    # probability p at each vertex; reference grid p=1e-9..1e-6 at |V|~1e8 —
+    # scaled so the expected stall per sweep spans ~0.05x..0.5x of the sweep
+    # cost at |V|=65k, the reference's rare-straggler regime where the
+    # barrier pays the MAX draw per superstep.  Past that regime (expected
+    # stall >> sweep cost) sleep dominates BOTH protocols uniformly and the
+    # margin collapses toward 1x — measured 1.64x @2e-5 but 1.07x @1e-3).
+    # Every partition draws (any thread can sleep), Binomial(n_owned, p).
     grid = {}
-    for prob in (0.02, 0.1):
-        fault = {"sleep_prob": prob, "sleep_s": 0.05, "pids": sleepy}
+    for prob in (5e-6, 2e-5, 1e-4):
+        fault = {"sleep_prob_v": prob, "sleep_s": 0.1}
         row = {}
         for mode in ("barrier", "barrierfree"):
             t0 = time.perf_counter()
@@ -382,8 +390,9 @@ def run_faults() -> dict:
             }
         crash_grid[f"{prob:g}"] = row
     eng.shutdown()
-    out = {"metric": "fault_sleep_grid", "sleep_s": 0.05,
-           "sleepy_partitions": sorted(sleepy), "partitions": P,
+    out = {"metric": "fault_sleep_grid", "sleep_s": 0.1,
+           "sleep_model": "per-vertex Binomial(n_owned, p), all partitions",
+           "partitions": P,
            "num_cpus": NCPU, "grid": grid, "crash_grid": crash_grid,
            "sf": SF}
     ray.shutdown()
