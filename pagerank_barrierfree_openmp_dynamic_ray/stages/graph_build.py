@@ -416,8 +416,10 @@ def find_hot_vertices(edges, threshold: int) -> np.ndarray:
         lambda t: t.filter(pc.greater_equal(t["deg"], threshold)),
         batch_format="pyarrow",
     ).select_columns(["vid"])
-    arr = hot.to_pandas()["vid"].to_numpy()
-    return np.sort(arr.astype(np.int64))
+    df = hot.to_pandas()
+    if "vid" not in df.columns:  # nothing hot: empty Dataset drops the schema
+        return np.empty(0, dtype=np.int64)
+    return np.sort(df["vid"].to_numpy().astype(np.int64))
 
 
 def build_graph(

@@ -155,3 +155,14 @@ def test_hot_barrierfree_sharded_board(layouts):
         assert np.allclose(res.ranks, want, atol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_hot_threshold_with_no_hot_vertices(layouts, tmp_path, ray_session):
+    """A threshold nothing reaches must yield a valid n_hot=0 layout, not
+    crash on the empty (schema-less) hot Dataset."""
+    rng = np.random.default_rng(11)
+    src, dst = _skewed_edges(rng)
+    lay = _build(tmp_path / "nohot", src, dst, threshold=10**9)
+    assert lay.n_hot == 0
+    cold, _ = layouts
+    assert lay.n_edges == cold.n_edges
