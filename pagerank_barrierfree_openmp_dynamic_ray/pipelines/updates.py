@@ -85,30 +85,44 @@ def generate_batch(
     return del_s, del_d, ins_s, ins_d
 
 
-def _pick_edges_part(part_dir: str, us: np.ndarray, fs: np.ndarray,
-                     span: int) -> np.ndarray:
-    """Resolve deletion picks for the vertices owned by one ``edges_out``
-    partition: vertex ``us[i]`` deletes its ``floor(fs[i] * deg)``-th
-    out-edge (sorted adjacency).  Returns the picked (src*span+dst) keys,
-    -1 where the vertex has no out-edges.  Reads ONLY this partition's
-    files."""
+def _load_part_arrays(part_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read one ``edges_out`` partition's (src, dst) arrays ONCE — unsorted.
+    The retry rounds of :func:`generate_batch_from_layout` all resolve
+    against these object-store-cached arrays; sorting happens per round over
+    ONLY the picked vertices' adjacency (the array-path trick: a full
+    |E|/P lexsort cost ~4 s per partition and dominated the call)."""
     import os
 
     import pyarrow.parquet as pq
 
     if not os.path.isdir(part_dir):
-        return np.full(len(us), -1, dtype=np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     t = pq.read_table(part_dir, columns=["src", "dst"])
     s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-    o = np.lexsort((d, s))
-    s, d = s[o], d[o]
-    starts = np.searchsorted(s, us)
-    deg = np.searchsorted(s, us, side="right") - starts
+    return s, d
+
+
+def _pick_edges_part(sd: tuple[np.ndarray, np.ndarray], us: np.ndarray,
+                     fs: np.ndarray, span: int) -> np.ndarray:
+    """Resolve deletion picks for the vertices owned by one ``edges_out``
+    partition: vertex ``us[i]`` deletes its ``floor(fs[i] * deg)``-th
+    out-edge (adjacency in (src, dst)-sorted order, matching the array
+    path).  Only the picked vertices' edges are extracted and sorted.
+    Returns the picked (src*span+dst) keys, -1 where the vertex has no
+    out-edges."""
+    s, d = sd
+    if not len(s):
+        return np.full(len(us), -1, dtype=np.int64)
+    sp = np.int64(span)
+    m = np.isin(s, np.unique(us))
+    k = np.sort(s[m] * sp + d[m])  # (src, dst) order == sorted key order
+    starts = np.searchsorted(k, us * sp)
+    deg = np.searchsorted(k, (us + 1) * sp) - starts
     out = np.full(len(us), -1, dtype=np.int64)
     ok = deg > 0
     e = starts[ok] + (fs[ok] * deg[ok]).astype(np.int64)
-    out[ok] = s[e] * np.int64(span) + d[e]
+    out[ok] = k[e]
     return out
 
 
@@ -133,8 +147,12 @@ def generate_batch_from_layout(
     n = layout.n_vertices
     P = layout.num_partitions
     sp = np.int64(n)
+    load = ray.remote(_load_part_arrays)
     pick = ray.remote(_pick_edges_part)
 
+    # each partition's sorted adjacency is loaded at most once per call and
+    # stays in the object store; every retry round resolves against the refs
+    adj_refs: dict[int, object] = {}
     dead = np.empty(0, dtype=np.int64)
     del_parts: list[np.ndarray] = []
     n_picked = 0
@@ -144,13 +162,14 @@ def generate_batch_from_layout(
             break
         u = (rng.random(need) * n).astype(np.int64)
         f = rng.random(need)
+        for p in np.unique(u % P):
+            if int(p) not in adj_refs:
+                adj_refs[int(p)] = load.remote(
+                    os.path.join(layout.edges_out, f"part={int(p)}"))
         futs = []
         for p in np.unique(u % P):
             m = (u % P) == p
-            futs.append(pick.remote(
-                os.path.join(layout.edges_out, f"part={int(p)}"),
-                u[m], f[m], n,
-            ))
+            futs.append(pick.remote(adj_refs[int(p)], u[m], f[m], n))
         keys = np.concatenate(ray.get(futs))
         keys = np.unique(keys[keys >= 0])  # failed + duplicate picks retry
         keys = keys[~np.isin(keys, dead)]
