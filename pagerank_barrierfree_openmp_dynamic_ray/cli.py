@@ -179,19 +179,24 @@ def cmd_threads(args) -> None:
         eng = PageRankEngine(lay, num_cpus_per_actor=args.num_cpus / (P + 1))
         try:
             for mode in ("barrier", "barrierfree"):
-                # median-of-repeat like the reference's repeated runs
-                walls, iters = [], 0
+                # median-of-repeat like the reference's repeated runs.
+                # edges/s is computed PER repeat (barrier-free iteration
+                # counts vary run to run, so pairing one repeat's iters
+                # with another's wall would skew the throughput) and the
+                # median of those consistent ratios is reported.
+                walls, iters, epss = [], [], []
                 for _ in range(args.repeat):
                     res = eng.run(mode=mode, tol=args.tol)
                     walls.append(res.wall_s)
-                    iters = res.iterations
-                wall = float(np.median(walls))
-                eps = iters * lay.n_edges / wall if wall else 0.0
+                    iters.append(res.iterations)
+                    epss.append(res.iterations * lay.n_edges / res.wall_s
+                                if res.wall_s else 0.0)
                 print(_result_line(f"{mode} pool={P}", res))
                 rows.append({
-                    "pool_size": P, "mode": mode, "iterations": iters,
-                    "wall_s": round(wall, 4),
-                    "edges_per_s": round(eps, 1),
+                    "pool_size": P, "mode": mode,
+                    "iterations": int(np.median(iters)),
+                    "wall_s": round(float(np.median(walls)), 4),
+                    "edges_per_s": round(float(np.median(epss)), 1),
                 })
                 print(json.dumps(rows[-1]))
         finally:

@@ -105,9 +105,16 @@ allv AS MATERIALIZED (SELECT x.range::BIGINT AS vid FROM range({V}) x)"""
     ctes.append("""err AS (SELECT a.i, MAX(ABS(a.r - b.r)) AS linf
   FROM u a JOIN u b ON b.vid = a.vid AND b.i = a.i - 1 GROUP BY a.i)""")
     ctes.append(f"stop AS (SELECT MIN(i) AS i FROM err WHERE linf < {tol})")
+    # if NO sweep reached the stopping rule the unroll budget (not the
+    # engine) is at fault — fail LOUDLY with a single sentinel row instead
+    # of silently returning 0 rows
     return ("WITH " + ",\n".join(ctes) +
-            "\nSELECT vid, ROUND(r, 12) AS rank FROM u "
-            "WHERE i = (SELECT i FROM stop) ORDER BY r DESC, vid LIMIT 20")
+            "\nSELECT vid, rank FROM ("
+            "SELECT vid, ROUND(r, 12) AS rank, r FROM u "
+            "WHERE i = (SELECT i FROM stop) "
+            "UNION ALL SELECT -1 AS vid, NULL AS rank, NULL AS r "
+            "WHERE (SELECT i FROM stop) IS NULL"
+            ") ORDER BY r DESC, vid LIMIT 20")
 
 
 def _sym_graph(edge_sql: str, V: int) -> str:
@@ -131,8 +138,14 @@ def cc_sql(edge_sql: str, V: int, n_sweeps: int) -> str:
             f"s{i} AS MATERIALIZED (SELECT e.dst AS vid, MIN(s{i - 1}.l) AS l "
             f"FROM s{i - 1} JOIN sym e ON e.src = s{i - 1}.vid GROUP BY e.dst)"
         )
+    # min-label is monotone, so s_n == s_{n-1} proves the fixpoint; if the
+    # last two sweeps still differ the unroll budget was too small — emit a
+    # loud sentinel row rather than silently returning unconverged labels
     return ("WITH " + ",\n".join(ctes) +
-            f"\nSELECT vid, l AS component FROM s{n_sweeps} ORDER BY vid")
+            f"\nSELECT vid, l AS component FROM s{n_sweeps} "
+            f"UNION ALL SELECT -1 AS vid, -1 AS component WHERE EXISTS ("
+            f"SELECT 1 FROM s{n_sweeps} a JOIN s{n_sweeps - 1} b "
+            f"ON a.vid = b.vid AND a.l <> b.l) ORDER BY vid")
 
 
 def lp_sql(edge_sql: str, V: int, n_sweeps: int = 20) -> str:

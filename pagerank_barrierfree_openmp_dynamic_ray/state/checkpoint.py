@@ -86,26 +86,43 @@ def labels_dataset(ckpt_dir: str):
     return rd.read_parquet(sorted(glob.glob(os.path.join(ckpt_dir, "part-*.parquet"))))
 
 
-def component_sizes_topk(ckpt_dir: str, k: int = 20):
+def component_sizes_topk(ckpt_dir: str, k: int = 20, num_partitions: int = 32):
     """Largest components/communities by member count, Dataset-natively:
-    per-batch (label, count) partials (one np.unique per block), then ONE
-    small groupby over the partials and a k-row sort — the shuffle carries
-    per-block distinct labels, never the |V| label table."""
+    per-batch (label, count) partials (one np.unique per block), then the
+    standard hash(label)%P part-tag + vectorized per-part sum + per-part
+    top-k, and a final k·P-row sort.  A CC result dominated by singleton
+    components has ~|V| distinct labels, so a per-key
+    ``groupby("label").aggregate`` here would hit the measured 6.5x
+    per-group-overhead trap at exactly the 1e9-vertex scale this
+    ``collect=False`` path exists for — the shuffle must carry P groups,
+    not one per label."""
     import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Sum
+
+    P = np.uint64(num_partitions)
 
     def partial(batch: pa.Table) -> pa.Table:
-        lab = batch["label"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         u, c = np.unique(lab, return_counts=True)
-        return pa.table({"label": pa.array(u.astype(np.int64)),
-                         "n_part": pa.array(c.astype(np.int64))})
+        part = (u.astype(np.uint64) * np.uint64(2654435761)) % P
+        return pa.table({"label": pa.array(u),
+                         "n_part": pa.array(c.astype(np.int64)),
+                         "part": pa.array(part.astype(np.int32))})
+
+    def topk_part(group: pa.Table) -> pa.Table:
+        lab = group["label"].to_numpy(zero_copy_only=False)
+        c = group["n_part"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(lab, return_inverse=True)
+        size = np.bincount(inv, weights=c, minlength=len(u)).astype(np.int64)
+        # per-part candidates: the global top-k is within every part's top-k
+        o = np.lexsort((u, -size))[:k]
+        return pa.table({"label": pa.array(u[o]), "size": pa.array(size[o])})
 
     return (
         labels_dataset(ckpt_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("label")
-        .aggregate(Sum("n_part", alias_name="size"))
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pyarrow")
         .sort(["size", "label"], descending=[True, False])
         .limit(k)
     )

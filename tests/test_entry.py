@@ -49,3 +49,28 @@ def test_fast_queries_run(entry_mod, name):
     df = entry_mod.queries()[name](SF)
     df = df if isinstance(df, pd.DataFrame) else df.to_pandas()
     assert len(df) > 0
+
+
+def test_sqltwin_unroll_budget_fails_loudly():
+    """An unroll budget the graph outgrows must produce an unmistakable
+    sentinel row, not silently return 0 rows (pagerank) or unconverged
+    labels (cc)."""
+    import duckdb
+
+    from pagerank_barrierfree_openmp_dynamic_ray.functions import sqltwins
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.derived import (
+        V,
+        derived_edge_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW lineitem AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+    E = derived_edge_sql()
+    pr = con.sql(sqltwins.pagerank_sql(E, V, 3)).df()  # 3 sweeps: no stop
+    assert list(pr["vid"]) == [-1] and pr["rank"].isna().all()
+    cc = con.sql(sqltwins.cc_sql(E, V, 1)).df()  # 1 sweep: unconverged
+    assert (cc["vid"] == -1).any()
+    # adequate budgets produce NO sentinel
+    ok = con.sql(sqltwins.pagerank_sql(E, V, 80)).df()
+    assert (ok["vid"] >= 0).all() and len(ok) == 20
