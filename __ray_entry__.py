@@ -773,6 +773,32 @@ def _q_events_sliding(sf_dir: str):
     return _i64(df)
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of (backward) join — view->click attribution: every click gets
+    the same user's latest view at-or-before it (null when none).  Runs the
+    distributed plan of ``stages/joins.py::asof_join`` (right side
+    hash-split into object-store partitions, one part groupby on the left,
+    composite-key searchsorted probe); DuckDB twin is a native ASOF LEFT
+    JOIN."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"])
+    views = ev.filter(expr="event_type == 'view'").select_columns(
+        ["user_id", "ts", "value"])
+    out = asof_join(clicks, views, key="user_id", ts="ts", take=["value"],
+                    num_partitions=16)
+    df = out.to_pandas()[["event_id", "user_id", "value_asof"]]
+    df = df.rename(columns={"value_asof": "last_view_value"})
+    return _i64(df.sort_values("event_id").reset_index(drop=True))
+
+
 def _q_li_pruned_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -870,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rev_by_nation": _q_rev_by_nation,
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
+        "events_asof": _q_events_asof,
         "li_pruned_agg": _q_li_pruned_agg,
     }
 
@@ -1027,6 +1054,16 @@ SELECT event_type, hour, n_events,
 FROM c
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+        "events_asof": """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+     views AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, v.value AS last_view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
 """,
         "li_pruned_agg": "SELECT l_returnflag, COUNT(*) AS n_rows, "
         "SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",

@@ -1,8 +1,9 @@
-"""Broadcast hash-join operators.
+"""Relational join operators: broadcast hash-join and as-of join.
 
 The reference has no relational joins, but its engine-shape demands one real
 join (url -> vid destination remap in the CSR build, `src/csr.hxx:40-51`);
-training-data pipelines need the general operator.  Two physical plans:
+training-data pipelines need the general operator plus the as-of
+(backward-in-time) variant for log attribution.  Physical plans:
 
 - **broadcast join** (here): the small side is put in the object store ONCE
   (``ray.put``) and every ``map_batches`` task probes it zero-shuffle.  This
@@ -63,3 +64,79 @@ def broadcast_join(large, small, left_on: str, right_on: str, take: list[str]):
         return batch
 
     return large.map_batches(f, batch_format="pyarrow")
+
+
+def asof_join(left, right, key: str, ts: str, take: list[str],
+              num_partitions: int = 32):
+    """As-of (backward) join: attach to every left row the ``take`` columns
+    of the LATEST right row with the same ``key`` and ``right.ts <=
+    left.ts`` — nulls when a key has no prior right row (LEFT semantics).
+    The log-attribution primitive (impression -> latest preceding view).
+
+    Scale plan (no Dataset.join, no union+groupby — see CLAUDE.md traps):
+    the right side is hash-split ONCE into object-store partitions by
+    ``key % P`` (``stages.dedup.partition_side_table``); left rows are
+    co-located by ONE plain ``groupby(key % P)``, and each resolve task
+    fetches only its partition of the right side, sorts it by (key, ts)
+    once, and probes all its left rows with a composite-key searchsorted.
+    Requires ``max(key) * (ts span in us + 2) < 2^63`` (asserted) — holds
+    for billions of keys over multi-year spans at microsecond resolution.
+    """
+    from .dedup import partition_side_table
+
+    P = np.uint64(num_partitions)
+    side = right.select_columns([key, ts] + take)
+    side_parts = partition_side_table(side, key_col=key,
+                                      num_partitions=num_partitions)
+    left_cols = left.schema().names
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column("part", pa.array((k % P).astype(np.int32)))
+
+    def _ts_int(col) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.datetime64):
+            return a.astype("datetime64[us]").astype(np.int64)
+        return a.astype(np.int64)
+
+    def resolve(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        p = int(group["part"][0].as_py())
+        out = group.select(left_cols)
+        lk = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = _ts_int(group[ts])
+        refs = side_parts[p]
+        side_t = pa.concat_tables(_ray.get(refs)) if refs else None
+        if side_t is None or not side_t.num_rows:
+            for c in take:  # no right rows for this partition: all-null
+                out = out.append_column(
+                    f"{c}_asof", pa.nulls(out.num_rows, right.schema().field(c).type))
+            return out
+        rk = side_t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        rt = _ts_int(side_t[ts])
+        order = np.lexsort((rt, rk))
+        rk, rt = rk[order], rt[order]
+        tmin = rt.min()
+        span = np.int64(rt.max() - tmin + 2)
+        kmax = max(rk.max(), lk.max())
+        assert kmax < (2 ** 63 - 1) // span, "asof composite key overflow"
+        ck_right = rk * span + (rt - tmin)
+        rel = np.clip(lt - tmin, -1, span - 2)
+        pos = np.searchsorted(ck_right, lk * span + rel, side="right") - 1
+        starts = np.searchsorted(rk, lk, side="left")
+        ok = pos >= starts  # a hit must be within the left row's own key run
+        safe = np.where(ok, pos, 0)
+        for c in take:
+            vals = side_t[c].combine_chunks().take(pa.array(order[safe]))
+            out = out.append_column(
+                f"{c}_asof",
+                pa.array(vals.to_numpy(zero_copy_only=False), mask=~ok))
+        return out
+
+    return (
+        left.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -1,6 +1,7 @@
 """Broadcast hash-join operator (stages/joins.py) vs pandas merge."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from pagerank_barrierfree_openmp_dynamic_ray.stages import dedup
@@ -101,3 +102,39 @@ def test_sliding_hourly_mean_with_gaps(ray_session):
     assert df["n_events"].tolist() == [2, 4, 6]
     # h0: 2/1; h1: (2+4)/2; h3: (4+0+6)/3
     np.testing.assert_allclose(df["moving_avg"], [2.0, 3.0, 10 / 3])
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """asof_join == pandas merge_asof(by=key, direction='backward'),
+    including keys with NO prior right row (null) and keys absent from the
+    right side entirely."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    nl, nr = 4000, 3000
+    lk = rng.integers(0, 50, nl)          # key 49 never appears on the right
+    lt = rng.integers(0, 10**6, nl)
+    rk = rng.integers(0, 49, nr)
+    rt = rng.integers(10**3, 10**6, nr)   # some left ts precede every right ts
+    rv = rng.random(nr)
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array(lk.astype(np.int64)), "ts": pa.array(lt.astype(np.int64)),
+        "row": pa.array(np.arange(nl))}))
+    right = rd.from_arrow(pa.table({
+        "uid": pa.array(rk.astype(np.int64)), "ts": pa.array(rt.astype(np.int64)),
+        "val": pa.array(rv)}))
+    got = (asof_join(left, right, key="uid", ts="ts", take=["val"], num_partitions=8)
+           .to_pandas().sort_values("row").reset_index(drop=True))
+    import pandas as pd
+
+    want = pd.merge_asof(
+        pd.DataFrame({"uid": lk, "ts": lt, "row": np.arange(nl)}).sort_values("ts"),
+        pd.DataFrame({"uid": rk, "ts": rt, "val": rv}).sort_values("ts"),
+        on="ts", by="uid", direction="backward",
+    ).sort_values("row").reset_index(drop=True)
+    assert got["val_asof"].isna().equals(want["val"].isna())
+    m = ~want["val"].isna()
+    np.testing.assert_allclose(got["val_asof"][m], want["val"][m], rtol=0, atol=0)
+    assert got["val_asof"].isna().any()  # the no-match paths were exercised
