@@ -799,6 +799,31 @@ def _q_events_asof(sf_dir: str):
     return _i64(df.sort_values("event_id").reset_index(drop=True))
 
 
+def _q_events_range(sf_dir: str):
+    """Time-range join — error triage: every error event paired with the
+    same user's clicks in the trailing hour (``stages/joins.py::range_join``;
+    DuckDB twin is a plain BETWEEN-predicate join)."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import range_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    errors = ev.filter(expr="event_type == 'error'").select_columns(
+        ["event_id", "user_id", "ts"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]).rename_columns(
+        {"event_id": "click_id", "ts": "click_ts"})
+    out = range_join(errors, clicks, key="user_id", left_ts="ts",
+                     right_ts="click_ts", lower_us=-3_600_000_000, upper_us=0,
+                     take=["click_id"], num_partitions=16)
+    df = out.to_pandas()[["event_id", "click_id_r"]]
+    df = df.rename(columns={"click_id_r": "click_id"})
+    return _i64(df.sort_values(["event_id", "click_id"]).reset_index(drop=True))
+
+
 def _q_li_pruned_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -897,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
+        "events_range": _q_events_range,
         "li_pruned_agg": _q_li_pruned_agg,
     }
 
@@ -1054,6 +1080,17 @@ SELECT event_type, hour, n_events,
 FROM c
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+        "events_range": """
+WITH errors AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'),
+     clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click')
+SELECT e.event_id, c.click_id
+FROM errors e JOIN clicks c
+  ON e.user_id = c.user_id
+ AND c.click_ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
+ORDER BY e.event_id, c.click_id
 """,
         "events_asof": """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events

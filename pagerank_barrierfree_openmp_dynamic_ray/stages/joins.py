@@ -140,3 +140,85 @@ def asof_join(left, right, key: str, ts: str, take: list[str],
         .groupby("part")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def range_join(left, right, key: str, left_ts: str, right_ts: str,
+               lower_us: int, upper_us: int, take: list[str],
+               num_partitions: int = 32):
+    """Time-range join: one output row per (left, right) pair with the same
+    ``key`` and ``right_ts`` in ``[left_ts + lower_us, left_ts + upper_us]``
+    (bounds inclusive, microseconds; e.g. lower=-3.6e9, upper=0 joins each
+    left row to the trailing hour of right rows).  Right-side ``take``
+    columns are appended with an ``_r`` suffix.
+
+    Same physical plan as :func:`asof_join` — right side hash-split once to
+    object-store partitions, left co-located by one part groupby, probe by
+    composite-key searchsorted; the per-pair expansion is a vectorized
+    repeat + ragged arange, never a Python loop."""
+    from .dedup import partition_side_table
+
+    P = np.uint64(num_partitions)
+    side = right.select_columns([key, right_ts] + take)
+    side_parts = partition_side_table(side, key_col=key,
+                                      num_partitions=num_partitions)
+    left_cols = left.schema().names
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column("part", pa.array((k % P).astype(np.int32)))
+
+    def _ts_int(col) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.datetime64):
+            return a.astype("datetime64[us]").astype(np.int64)
+        return a.astype(np.int64)
+
+    def resolve(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        p = int(group["part"][0].as_py())
+        lt = _ts_int(group[left_ts])
+        lk = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        refs = side_parts[p]
+        side_t = pa.concat_tables(_ray.get(refs)) if refs else None
+        base = group.select(left_cols)
+        if side_t is None or not side_t.num_rows:
+            out = base.slice(0, 0)
+            for c in take:
+                out = out.append_column(
+                    f"{c}_r", pa.nulls(0, right.schema().field(c).type))
+            return out
+        rk = side_t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        rt = _ts_int(side_t[right_ts])
+        order = np.lexsort((rt, rk))
+        rk, rt = rk[order], rt[order]
+        tmin = rt.min()
+        span = np.int64(rt.max() - tmin + 2)
+        assert max(rk.max(), lk.max()) < (2 ** 63 - 1) // span, \
+            "range_join composite key overflow"
+        ck = rk * span + (rt - tmin)
+        rel_lo = lt + np.int64(lower_us) - tmin
+        rel_hi = lt + np.int64(upper_us) - tmin
+        empty = (rel_hi < 0) | (rel_lo > span - 2)
+        lo = np.searchsorted(ck, lk * span + np.clip(rel_lo, 0, span - 2),
+                             side="left")
+        hi = np.searchsorted(ck, lk * span + np.clip(rel_hi, 0, span - 2),
+                             side="right")
+        counts = np.where(empty, 0, np.maximum(hi - lo, 0))
+        total = int(counts.sum())
+        # ragged expansion: for left row i, right indices lo[i]..lo[i]+counts[i]
+        li = np.repeat(np.arange(len(lt)), counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        ri = np.repeat(lo, counts) + offs
+        out = base.take(pa.array(li))
+        for c in take:
+            out = out.append_column(
+                f"{c}_r", side_t[c].combine_chunks().take(pa.array(order[ri])))
+        return out
+
+    return (
+        left.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

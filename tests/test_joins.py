@@ -138,3 +138,35 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     m = ~want["val"].isna()
     np.testing.assert_allclose(got["val_asof"][m], want["val"][m], rtol=0, atol=0)
     assert got["val_asof"].isna().any()  # the no-match paths were exercised
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """range_join == brute-force pair filter, including empty-window rows,
+    keys absent from the right, and windows clipping both span ends."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(9)
+    nl, nr = 1500, 1200
+    lk = rng.integers(0, 40, nl)
+    lt = rng.integers(0, 10**6, nl)
+    rk = rng.integers(0, 38, nr)
+    rt = rng.integers(10**4, 9 * 10**5, nr)
+    rid = np.arange(nr)
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array(lk.astype(np.int64)), "ts": pa.array(lt.astype(np.int64)),
+        "row": pa.array(np.arange(nl))}))
+    right = rd.from_arrow(pa.table({
+        "uid": pa.array(rk.astype(np.int64)), "rts": pa.array(rt.astype(np.int64)),
+        "rid": pa.array(rid)}))
+    lo, hi = -5000, 2000
+    got = (range_join(left, right, key="uid", left_ts="ts", right_ts="rts",
+                      lower_us=lo, upper_us=hi, take=["rid"], num_partitions=8)
+           .to_pandas())
+    want = set()
+    for i in range(nl):
+        m = (rk == lk[i]) & (rt >= lt[i] + lo) & (rt <= lt[i] + hi)
+        want.update((i, int(r)) for r in rid[m])
+    assert set(zip(got["row"], got["rid_r"])) == want
+    assert len(got) == len(want) and len(want) > 50
