@@ -86,6 +86,8 @@ def asof_join(left, right, key: str, ts: str, take: list[str],
 
     P = np.uint64(num_partitions)
     side = right.select_columns([key, ts] + take)
+    _sch = right.schema()  # Ray Data Schema: .names / .types (pyarrow)
+    take_types = {c: t for c, t in zip(_sch.names, _sch.types) if c in take}
     side_parts = partition_side_table(side, key_col=key,
                                       num_partitions=num_partitions)
     left_cols = left.schema().names
@@ -112,7 +114,7 @@ def asof_join(left, right, key: str, ts: str, take: list[str],
         if side_t is None or not side_t.num_rows:
             for c in take:  # no right rows for this partition: all-null
                 out = out.append_column(
-                    f"{c}_asof", pa.nulls(out.num_rows, right.schema().field(c).type))
+                    f"{c}_asof", pa.nulls(out.num_rows, take_types[c]))
             return out
         rk = side_t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         rt = _ts_int(side_t[ts])
@@ -159,6 +161,8 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
 
     P = np.uint64(num_partitions)
     side = right.select_columns([key, right_ts] + take)
+    _sch = right.schema()  # Ray Data Schema: .names / .types (pyarrow)
+    take_types = {c: t for c, t in zip(_sch.names, _sch.types) if c in take}
     side_parts = partition_side_table(side, key_col=key,
                                       num_partitions=num_partitions)
     left_cols = left.schema().names
@@ -186,7 +190,7 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
             out = base.slice(0, 0)
             for c in take:
                 out = out.append_column(
-                    f"{c}_r", pa.nulls(0, right.schema().field(c).type))
+                    f"{c}_r", pa.nulls(0, take_types[c]))
             return out
         rk = side_t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         rt = _ts_int(side_t[right_ts])

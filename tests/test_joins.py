@@ -170,3 +170,28 @@ def test_range_join_matches_bruteforce(ray_session):
         want.update((i, int(r)) for r in rid[m])
     assert set(zip(got["row"], got["rid_r"])) == want
     assert len(got) == len(want) and len(want) > 50
+
+
+def test_asof_and_range_join_empty_right_partitions(ray_session):
+    """Partitions with no right-side rows: asof keeps left rows with nulls,
+    range emits nothing — the (previously latent) empty branch."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import (
+        asof_join,
+        range_join,
+    )
+
+    left = rd.from_arrow(pa.table({"k": pa.array([0, 1, 2, 3], pa.int64()),
+                                   "ts": pa.array([10] * 4, pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([0], pa.int64()),
+                                    "ts": pa.array([5], pa.int64()),
+                                    "v": pa.array([1.5])}))
+    a = asof_join(left, right, key="k", ts="ts", take=["v"],
+                  num_partitions=4).to_pandas().sort_values("k")
+    assert a["v_asof"].tolist()[0] == 1.5
+    assert a["v_asof"].isna().tolist() == [False, True, True, True]
+    r = range_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                   lower_us=-10, upper_us=0, take=["v"],
+                   num_partitions=4).to_pandas()
+    assert len(r) == 1 and r["v_r"].iloc[0] == 1.5
