@@ -33,11 +33,27 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 WORK = os.path.join("/tmp", f"graft_bench_{NCPU}")
 
 
+def cpu_calibration() -> float:
+    """Single-thread sort of 10M doubles, seconds.  The sandbox VM throttles
+    vCPUs after sustained load WITHOUT steal accounting (measured: a
+    cpu-bound thread getting ~13% of a core at 97% idle), so wall times can
+    inflate 2-3x while load-avg looks idle.  Nominal on a healthy host:
+    ~0.75 s (see BASELINE.md).  Every bench JSON carries this so a bad
+    number is attributable to the host, not the engine."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random(10_000_000)
+    t0 = time.perf_counter()
+    np.sort(a)
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
     import ray.data as rd
 
+    _cal = cpu_calibration()
     ray.init(
         address="local",
         num_cpus=NCPU,
@@ -171,6 +187,7 @@ def run_bench() -> dict:
         "metric": "graft_bench_total_sec",
         "value": round(total, 3),
         "unit": "sec",
+        "cpu_calibration_s": _cal,
         "queries": {k: round(v, 3) for k, v in q.items()},
         "sf": SF,
         "num_cpus": NCPU,
