@@ -53,7 +53,15 @@ def run_bench() -> dict:
     import ray
     import ray.data as rd
 
-    _cal = cpu_calibration()
+    # wait out a throttle wave (bounded): an elevated calibration means the
+    # host, not the engine, is slow — retry the probe for up to ~4 minutes
+    # before accepting the run conditions, and record the probe history.
+    _cals = [cpu_calibration()]
+    _t_wait = time.perf_counter()
+    while _cals[-1] > 1.5 and time.perf_counter() - _t_wait < 240:
+        time.sleep(45)
+        _cals.append(cpu_calibration())
+    _cal = _cals[-1]
     ray.init(
         address="local",
         num_cpus=NCPU,
@@ -188,6 +196,8 @@ def run_bench() -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "cpu_calibration_s": _cal,
+        "cpu_calibration_probes": _cals,
+        "cpu_calibration_after_s": cpu_calibration(),
         "queries": {k: round(v, 3) for k, v in q.items()},
         "sf": SF,
         "num_cpus": NCPU,
