@@ -310,18 +310,28 @@ def run_scaling() -> dict:
     best = None
     for _att in range(3):
         waited = 0
-        while os.getloadavg()[0] > 3.0 and waited < 300:
+        # load-avg misses the VM's throttle waves entirely — gate on the
+        # single-thread calibration too (nominal <=~0.8 s; in-wave 4-6 s)
+        cal = cpu_calibration()
+        while (os.getloadavg()[0] > 3.0 or cal > 1.5) and waited < 300:
             time.sleep(60)
             waited += 60
+            cal = cpu_calibration()
         t_lo, n_edges = one(lo, "0-1")
         t_hi, _ = one(hi, "0-7")
         eff_a = (t_lo / t_hi) / (hi / lo)
         attempts.append({"t2": round(t_lo, 2), "t8": round(t_hi, 2),
                          "eff": round(eff_a, 3),
-                         "load_at_start": round(os.getloadavg()[0], 2)})
-        if best is None or eff_a > best[0]:
+                         "load_at_start": round(os.getloadavg()[0], 2),
+                         "cpu_calibration_s": cal})
+        # waves can contaminate EITHER leg: a slow 2-core leg inflates eff
+        # (measured 1.61 from a mid-wave T2), a slow 8-core leg deflates it.
+        # The least-contaminated attempt is the FASTEST one, so keep the
+        # attempt with minimum total wall, and only stop early when the
+        # ratio is inside the historical idle-host envelope.
+        if best is None or (t_lo + t_hi) < (best[1] + best[2]):
             best = (eff_a, t_lo, t_hi)
-        if eff_a >= 0.8:
+        if 0.8 <= eff_a <= 1.3:
             break
     eff, t_lo, t_hi = best
     eps = lambda t: n_edges * SCALE_ITERS / t
