@@ -331,7 +331,7 @@ def run_scaling() -> dict:
         # ratio is inside the historical idle-host envelope.
         if best is None or (t_lo + t_hi) < (best[1] + best[2]):
             best = (eff_a, t_lo, t_hi)
-        if 0.8 <= eff_a <= 1.3:
+        if 0.8 <= best[0] <= 1.3:  # stop only when the REPORTED attempt is in-envelope
             break
     eff, t_lo, t_hi = best
     eps = lambda t: n_edges * SCALE_ITERS / t

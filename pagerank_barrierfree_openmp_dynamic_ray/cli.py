@@ -194,7 +194,7 @@ def cmd_threads(args) -> None:
                 print(_result_line(f"{mode} pool={P}", res))
                 rows.append({
                     "pool_size": P, "mode": mode,
-                    "iterations": int(np.median(iters)),
+                    "iterations": float(np.median(iters)),
                     "wall_s": round(float(np.median(walls)), 4),
                     "edges_per_s": round(float(np.median(epss)), 1),
                 })

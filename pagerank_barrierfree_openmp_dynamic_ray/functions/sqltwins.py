@@ -131,7 +131,11 @@ def cc_sql(edge_sql: str, V: int, n_sweeps: int) -> str:
     """Min-label fixpoint (LabelEngine.connected_components).  Monotone:
     ``n_sweeps`` only needs to exceed the per-component eccentricity from its
     minimum vid (engine measured 32 sweeps at sf0.01; 64 is 2x headroom).
-    The self-loop keeps each vertex's own label in the min."""
+    The self-loop keeps each vertex's own label in the min.  The
+    convergence sentinel compares the last two sweeps, so at least one
+    sweep is required."""
+    if n_sweeps < 1:
+        raise ValueError("cc_sql needs n_sweeps >= 1 (sentinel compares the last two sweeps)")
     ctes = [_sym_graph(edge_sql, V)]
     for i in range(1, n_sweeps + 1):
         ctes.append(

@@ -66,97 +66,26 @@ def broadcast_join(large, small, left_on: str, right_on: str, take: list[str]):
     return large.map_batches(f, batch_format="pyarrow")
 
 
-def asof_join(left, right, key: str, ts: str, take: list[str],
-              num_partitions: int = 32):
-    """As-of (backward) join: attach to every left row the ``take`` columns
-    of the LATEST right row with the same ``key`` and ``right.ts <=
-    left.ts`` — nulls when a key has no prior right row (LEFT semantics).
-    The log-attribution primitive (impression -> latest preceding view).
-
-    Scale plan (no Dataset.join, no union+groupby — see CLAUDE.md traps):
-    the right side is hash-split ONCE into object-store partitions by
-    ``key % P`` (``stages.dedup.partition_side_table``); left rows are
-    co-located by ONE plain ``groupby(key % P)``, and each resolve task
-    fetches only its partition of the right side, sorts it by (key, ts)
-    once, and probes all its left rows with a composite-key searchsorted.
-    Requires ``max(key) * (ts span in us + 2) < 2^63`` (asserted) — holds
-    for billions of keys over multi-year spans at microsecond resolution.
-    """
-    from .dedup import partition_side_table
-
-    P = np.uint64(num_partitions)
-    side = right.select_columns([key, ts] + take)
-    _sch = right.schema()  # Ray Data Schema: .names / .types (pyarrow)
-    take_types = {c: t for c, t in zip(_sch.names, _sch.types) if c in take}
-    side_parts = partition_side_table(side, key_col=key,
-                                      num_partitions=num_partitions)
-    left_cols = left.schema().names
-
-    def tag(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column("part", pa.array((k % P).astype(np.int32)))
-
-    def _ts_int(col) -> np.ndarray:
-        a = col.to_numpy(zero_copy_only=False)
-        if np.issubdtype(a.dtype, np.datetime64):
-            return a.astype("datetime64[us]").astype(np.int64)
-        return a.astype(np.int64)
-
-    def resolve(group: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        p = int(group["part"][0].as_py())
-        out = group.select(left_cols)
-        lk = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        lt = _ts_int(group[ts])
-        refs = side_parts[p]
-        side_t = pa.concat_tables(_ray.get(refs)) if refs else None
-        if side_t is None or not side_t.num_rows:
-            for c in take:  # no right rows for this partition: all-null
-                out = out.append_column(
-                    f"{c}_asof", pa.nulls(out.num_rows, take_types[c]))
-            return out
-        rk = side_t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        rt = _ts_int(side_t[ts])
-        order = np.lexsort((rt, rk))
-        rk, rt = rk[order], rt[order]
-        tmin = rt.min()
-        span = np.int64(rt.max() - tmin + 2)
-        kmax = max(rk.max(), lk.max())
-        assert kmax < (2 ** 63 - 1) // span, "asof composite key overflow"
-        ck_right = rk * span + (rt - tmin)
-        rel = np.clip(lt - tmin, -1, span - 2)
-        pos = np.searchsorted(ck_right, lk * span + rel, side="right") - 1
-        starts = np.searchsorted(rk, lk, side="left")
-        ok = pos >= starts  # a hit must be within the left row's own key run
-        safe = np.where(ok, pos, 0)
-        for c in take:
-            vals = side_t[c].combine_chunks().take(pa.array(order[safe]))
-            out = out.append_column(
-                f"{c}_asof",
-                pa.array(vals.to_numpy(zero_copy_only=False), mask=~ok))
-        return out
-
-    return (
-        left.map_batches(tag, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(resolve, batch_format="pyarrow")
-    )
+def _ts_int(col) -> np.ndarray:
+    """Timestamp column -> int64 microseconds (plain ints pass through)."""
+    a = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[us]").astype(np.int64)
+    return a.astype(np.int64)
 
 
-def range_join(left, right, key: str, left_ts: str, right_ts: str,
-               lower_us: int, upper_us: int, take: list[str],
-               num_partitions: int = 32):
-    """Time-range join: one output row per (left, right) pair with the same
-    ``key`` and ``right_ts`` in ``[left_ts + lower_us, left_ts + upper_us]``
-    (bounds inclusive, microseconds; e.g. lower=-3.6e9, upper=0 joins each
-    left row to the trailing hour of right rows).  Right-side ``take``
-    columns are appended with an ``_r`` suffix.
-
-    Same physical plan as :func:`asof_join` — right side hash-split once to
-    object-store partitions, left co-located by one part groupby, probe by
-    composite-key searchsorted; the per-pair expansion is a vectorized
-    repeat + ragged arange, never a Python loop."""
+def _keyed_time_join(left, right, key: str, left_ts: str, right_ts: str,
+                     take: list[str], num_partitions: int, what: str, probe):
+    """Shared plan for the time-keyed joins (asof / range): the right side
+    is hash-split ONCE into object-store partitions by ``key % P``
+    (``stages.dedup.partition_side_table``); left rows are co-located by
+    ONE plain ``groupby(key % P)`` (no ``Dataset.join``, no union+groupby —
+    see CLAUDE.md traps); each resolve task fetches only its partition of
+    the right side, sorts it by (key, ts) once, builds the composite key
+    ``k * span + (ts - tmin)``, and hands ``probe`` the sorted arrays to
+    implement the join semantics.  Requires ``max(key) * (ts span in us +
+    2) < 2^63`` (raises ValueError) — holds for billions of keys over
+    multi-year spans at microsecond resolution."""
     from .dedup import partition_side_table
 
     P = np.uint64(num_partitions)
@@ -171,36 +100,91 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
         k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
         return batch.append_column("part", pa.array((k % P).astype(np.int32)))
 
-    def _ts_int(col) -> np.ndarray:
-        a = col.to_numpy(zero_copy_only=False)
-        if np.issubdtype(a.dtype, np.datetime64):
-            return a.astype("datetime64[us]").astype(np.int64)
-        return a.astype(np.int64)
-
     def resolve(group: pa.Table) -> pa.Table:
         import ray as _ray
 
         p = int(group["part"][0].as_py())
-        lt = _ts_int(group[left_ts])
+        base = group.select(left_cols)
         lk = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = _ts_int(group[left_ts])
         refs = side_parts[p]
         side_t = pa.concat_tables(_ray.get(refs)) if refs else None
-        base = group.select(left_cols)
         if side_t is None or not side_t.num_rows:
-            out = base.slice(0, 0)
-            for c in take:
-                out = out.append_column(
-                    f"{c}_r", pa.nulls(0, take_types[c]))
-            return out
+            return probe(base, lk, lt, None, take_types)
         rk = side_t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         rt = _ts_int(side_t[right_ts])
         order = np.lexsort((rt, rk))
         rk, rt = rk[order], rt[order]
         tmin = rt.min()
         span = np.int64(rt.max() - tmin + 2)
-        assert max(rk.max(), lk.max()) < (2 ** 63 - 1) // span, \
-            "range_join composite key overflow"
+        kmax = int(max(rk.max(), lk.max()))
+        if kmax >= (2 ** 63 - 1) // int(span):
+            raise ValueError(
+                f"{what} composite key overflow: max key {kmax} * ts-span "
+                f"{int(span)} exceeds int64")
         ck = rk * span + (rt - tmin)
+        return probe(base, lk, lt, (side_t, order, rk, ck, tmin, span),
+                     take_types)
+
+    return (
+        left.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def asof_join(left, right, key: str, ts: str, take: list[str],
+              num_partitions: int = 32):
+    """As-of (backward) join: attach to every left row the ``take`` columns
+    of the LATEST right row with the same ``key`` and ``right.ts <=
+    left.ts`` — nulls when a key has no prior right row (LEFT semantics).
+    The log-attribution primitive (impression -> latest preceding view).
+    Physical plan: :func:`_keyed_time_join`."""
+
+    def probe(base, lk, lt, sideinfo, take_types):
+        if sideinfo is None:
+            out = base
+            for c in take:  # no right rows for this partition: all-null
+                out = out.append_column(
+                    f"{c}_asof", pa.nulls(out.num_rows, take_types[c]))
+            return out
+        side_t, order, rk, ck, tmin, span = sideinfo
+        rel = np.clip(lt - tmin, -1, span - 2)
+        pos = np.searchsorted(ck, lk * span + rel, side="right") - 1
+        starts = np.searchsorted(rk, lk, side="left")
+        ok = pos >= starts  # a hit must be within the left row's own key run
+        # null INDEX -> null value: arrow take preserves the column type and
+        # nulls exactly (a numpy round-trip would degrade int64-with-null
+        # to float64 and corrupt >2^53 values)
+        idx = pa.array(order[np.where(ok, pos, 0)], mask=~ok)
+        out = base
+        for c in take:
+            out = out.append_column(
+                f"{c}_asof", side_t[c].combine_chunks().take(idx))
+        return out
+
+    return _keyed_time_join(left, right, key, ts, ts, take, num_partitions,
+                            "asof_join", probe)
+
+
+def range_join(left, right, key: str, left_ts: str, right_ts: str,
+               lower_us: int, upper_us: int, take: list[str],
+               num_partitions: int = 32):
+    """Time-range join: one output row per (left, right) pair with the same
+    ``key`` and ``right_ts`` in ``[left_ts + lower_us, left_ts + upper_us]``
+    (bounds inclusive, microseconds; e.g. lower=-3.6e9, upper=0 joins each
+    left row to the trailing hour of right rows).  Right-side ``take``
+    columns are appended with an ``_r`` suffix.  Physical plan:
+    :func:`_keyed_time_join`; the per-pair expansion is a vectorized
+    repeat + ragged arange, never a Python loop."""
+
+    def probe(base, lk, lt, sideinfo, take_types):
+        if sideinfo is None:
+            out = base.slice(0, 0)
+            for c in take:
+                out = out.append_column(f"{c}_r", pa.nulls(0, take_types[c]))
+            return out
+        side_t, order, rk, ck, tmin, span = sideinfo
         rel_lo = lt + np.int64(lower_us) - tmin
         rel_hi = lt + np.int64(upper_us) - tmin
         empty = (rel_hi < 0) | (rel_lo > span - 2)
@@ -210,7 +194,7 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
                              side="right")
         counts = np.where(empty, 0, np.maximum(hi - lo, 0))
         total = int(counts.sum())
-        # ragged expansion: for left row i, right indices lo[i]..lo[i]+counts[i]
+        # ragged expansion: left row i pairs with right lo[i]..lo[i]+counts[i]
         li = np.repeat(np.arange(len(lt)), counts)
         offs = np.arange(total) - np.repeat(
             np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
@@ -221,8 +205,5 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
                 f"{c}_r", side_t[c].combine_chunks().take(pa.array(order[ri])))
         return out
 
-    return (
-        left.map_batches(tag, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(resolve, batch_format="pyarrow")
-    )
+    return _keyed_time_join(left, right, key, left_ts, right_ts, take,
+                            num_partitions, "range_join", probe)

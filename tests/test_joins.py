@@ -195,3 +195,26 @@ def test_asof_and_range_join_empty_right_partitions(ray_session):
                    lower_us=-10, upper_us=0, take=["v"],
                    num_partitions=4).to_pandas()
     assert len(r) == 1 and r["v_r"].iloc[0] == 1.5
+
+
+def test_asof_join_preserves_int64_and_nulls(ray_session):
+    """take columns keep their arrow type and nulls exactly: an int64 value
+    above 2^53 survives (a numpy float64 round-trip would corrupt it) and a
+    null right-side value stays null."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import asof_join
+
+    big = 2**60 + 12345
+    left = rd.from_arrow(pa.table({"k": pa.array([0, 0, 1], pa.int64()),
+                                   "ts": pa.array([10, 1, 10], pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([0, 1], pa.int64()),
+                                    "ts": pa.array([5, 5], pa.int64()),
+                                    "v": pa.array([big, None], pa.int64())}))
+    out = asof_join(left, right, key="k", ts="ts", take=["v"], num_partitions=2)
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow",
+                                               batch_size=None)))
+    assert t.schema.field("v_asof").type == pa.int64()
+    rows = {(r["k"], r["ts"]): r["v_asof"] for r in t.to_pylist()}
+    assert rows[(0, 1)] is None and rows[(1, 10)] is None
+    assert rows[(0, 10)] == big
