@@ -428,6 +428,7 @@ def run_faults() -> dict:
         crash_grid[f"{prob:g}"] = row
     eng.shutdown()
     out = {"metric": "fault_sleep_grid", "sleep_s": 0.1,
+           "cpu_calibration_s": cpu_calibration(),
            "sleep_model": "per-vertex Binomial(n_owned, p), all partitions",
            "partitions": P,
            "num_cpus": NCPU, "grid": grid, "crash_grid": crash_grid,
@@ -534,6 +535,7 @@ def run_batches() -> dict:
     }
     engr2.shutdown()
     out = {"metric": "batch_fraction_sweep", "partitions": P,
+           "cpu_calibration_s": cpu_calibration(),
            "num_cpus": NCPU, "n_edges": base.n_edges, "grid": grid,
            "localized_ring": localized, "sf": SF}
     ray.shutdown()
