@@ -824,6 +824,22 @@ def _q_events_range(sf_dir: str):
     return _i64(df.sort_values(["event_id", "click_id"]).reset_index(drop=True))
 
 
+def _q_events_distinct_users(sf_dir: str):
+    """Exact distinct-user count per event type (`stages/dedup.py::
+    distinct_count`): per-batch distinct-pair combiner, one
+    hash(user)%P shuffle, vectorized per-part distinct+count, tiny final
+    sum — never a per-value groupby, never a collected value set."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
+        distinct_count,
+    )
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return _i64(distinct_count(ev, "event_type", "user_id"))
+
+
 def _q_li_pruned_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -923,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
         "events_range": _q_events_range,
+        "events_distinct_users": _q_events_distinct_users,
         "li_pruned_agg": _q_li_pruned_agg,
     }
 
@@ -1102,6 +1119,8 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 ORDER BY c.event_id
 """,
+        "events_distinct_users": "SELECT event_type, COUNT(DISTINCT user_id)"
+        " AS n_distinct FROM events GROUP BY event_type ORDER BY event_type",
         "li_pruned_agg": "SELECT l_returnflag, COUNT(*) AS n_rows, "
         "SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
         # ---- iterative twins (unrolled sweep chains; functions/sqltwins) ----

@@ -513,3 +513,46 @@ def ngram_jaccard_matrix(docs, shingle_k: int = 3):
         for j in range(i + 1, len(ids)):
             out.append((int(ids[i]), int(ids[j]), jaccard(sh[i], sh[j])))
     return out
+
+
+def distinct_count(ds, group_col: str, distinct_col: str,
+                   num_partitions: int = 32):
+    """Exact COUNT(DISTINCT distinct_col) per ``group_col`` — the ``unique``
+    wide operator, in the engine's standard shape: a per-batch distinct-pair
+    combiner, ONE shuffle keyed by ``hash(distinct_col) % P`` (duplicates of
+    a value meet in one partition regardless of group), a vectorized
+    per-partition distinct + per-group count, and a tiny ``P x groups``
+    final sum.  Never groups by the distinct values themselves (the per-key
+    groupby trap) and never collects the value set anywhere.
+
+    Returns a pandas DataFrame ``(group_col, n_distinct)`` sorted by group —
+    the final combine input is at most ``P x |groups|`` rows, a driver-scale
+    table by construction."""
+    import numpy as np
+
+    P = np.uint64(num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, distinct_col]).group_by(
+            [group_col, distinct_col]).aggregate([])
+        v = t[distinct_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (v * np.uint64(2654435761)) % P
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def count_part(group: pa.Table) -> pa.Table:
+        t = group.select([group_col, distinct_col]).group_by(
+            [group_col, distinct_col]).aggregate([])
+        return t.select([group_col]).group_by([group_col]).aggregate(
+            [(group_col, "count")]
+        ).rename_columns([group_col, "n_part"])
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (parts.groupby(group_col, as_index=False)["n_part"].sum()
+           .rename(columns={"n_part": "n_distinct"})
+           .sort_values(group_col).reset_index(drop=True))
+    return out

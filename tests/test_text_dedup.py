@@ -404,3 +404,21 @@ def test_multimodal_real_audio_decode():
     assert sr == 16000
     np.testing.assert_allclose(dur, 0.5)
     np.testing.assert_allclose(rms, np.sqrt(np.mean(pcm.astype(np.float64) ** 2)), rtol=1e-6)
+
+
+def test_distinct_count_matches_pandas(ray_session):
+    """distinct_count == pandas groupby.nunique, including values shared
+    across groups (they must not collapse despite meeting in one hash
+    partition)."""
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 5, 20_000)
+    v = rng.integers(0, 700, 20_000)
+    ds = rd.from_arrow(pa.table({"g": pa.array(g.astype("int64")),
+                                 "v": pa.array(v.astype("int64"))}))
+    got = dedup.distinct_count(ds, "g", "v", num_partitions=8)
+    want = (pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
+            .reset_index(name="n_distinct"))
+    pd.testing.assert_frame_equal(got, want.astype({"g": "int64", "n_distinct": "int64"}))
