@@ -12,6 +12,7 @@ the driver BEFORE this module is imported — nothing here calls
 from __future__ import annotations
 
 import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
@@ -161,11 +162,11 @@ def _q_lg_triangles(sf_dir: str):
 # results are reduced in a fixed slot order, so the trajectory is bit-equal
 # to the plain barrier run (measured: 0.0 max rank diff vs the twin over
 # repeated runs at sf0.01).  The asynchronous ones (barrierfree, frontier)
-# stay rows-only with pytest oracles: barrierfree lands within ~5e-10 of the
-# fixed point but NOT on the synchronous trajectory the SQL reproduces, so
-# any rounding coarse enough to absorb that noise makes a value-hash
-# comparison a coin flip (measured flake odds >20% at every useful digit
-# count) — fixed-point agreement is asserted in pytest instead.
+# land within ~5e-10 of the fixed point but NOT on the synchronous
+# trajectory the SQL reproduces, so a raw rank value-hash flakes at every
+# useful rounding; they are SQL-checked via INVARIANT twins instead
+# (sqltwins.pagerank_vids_sql): the stable top-20 vid set plus an
+# engine-computed |async - sync| < 1e-6 flag per vid.
 # ---------------------------------------------------------------------------
 
 def _pr_engine(sf_dir: str):
@@ -219,18 +220,61 @@ def _q_pr_top20(sf_dir: str):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def _async_top20_within(ranks_async: np.ndarray, ranks_sync: np.ndarray,
+                        tol: float = 1e-6):
+    """(vid, within_tol) for the async run's top-20: vids are stable (the
+    20/21 rank gap is ~1.1e-6 vs ~5.6e-10 async noise at sf0.01, measured
+    over repeated runs), and within_tol asserts fixed-point agreement with
+    the synchronous trajectory the SQL twin reproduces — 1e-6 is ~2000x the
+    measured max deviation, yet ~15x below the smallest top-20 rank."""
+    import pandas as pd
+
+    idx = np.lexsort((np.arange(len(ranks_async)), -ranks_async))[:20]
+    ok = np.abs(ranks_async[idx] - ranks_sync[idx]) < tol
+    order = np.argsort(idx)
+    return pd.DataFrame({
+        "vid": idx[order].astype("int64"),
+        "within_tol": ok[order].astype("int64"),
+    })
+
+
 def _q_pr_barrierfree_top20(sf_dir: str):
+    """Barrier-free async PageRank, SQL-checked via the invariant twin
+    (sqltwins.pagerank_vids_sql): the async top-20 vid set must equal the
+    synchronous fixpoint's, and every async rank must sit within 1e-6 of the
+    engine's own synchronous run at those vids."""
     eng = _pr_engine(sf_dir)
     try:
-        return _top20_df(eng.run(mode="barrierfree").ranks)
+        ranks_async = eng.run(mode="barrierfree").ranks
+        ranks_sync = eng.run(mode="barrier").ranks
     finally:
         eng.shutdown()
+    return _async_top20_within(ranks_async, ranks_sync)
+
+
+# fixed dump path so oracle_sql() (built at import, sf-independent) can read
+# the query's updated graph; the query rewrites it on every call, so the twin
+# always sees the edges of the run being checked
+_FRONTIER_DUMP = os.path.join(tempfile.gettempdir(), "graft_oracle_dumps",
+                              "frontier_upd_edges")
 
 
 def _q_pr_dynamic_frontier_top20(sf_dir: str):
+    """Dynamic-frontier PageRank after a seeded edge batch, SQL-checked via
+    the invariant twin: the updated graph's edges are dumped to parquet and
+    the twin runs the unrolled sweep over them — the frontier run's top-20
+    vid set must match the full-recompute fixpoint, with every frontier rank
+    within 1e-6 of the engine's own full recompute (measured max deviation
+    5.4e-10 at sf0.01; the seeded batch is deterministic)."""
+    import shutil
     import tempfile
 
-    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import Frontier
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        Frontier,
+        PageRankEngine,
+    )
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
         apply_batch_to_layout,
         generate_batch_from_layout,
@@ -245,13 +289,19 @@ def _q_pr_dynamic_frontier_top20(sf_dir: str):
     out = os.path.join(tempfile.gettempdir(), "graft_layouts",
                        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_upd")
     new = apply_batch_to_layout(old, out, ds_, dd_, is_, id_)
-    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import PageRankEngine
+    shutil.rmtree(_FRONTIER_DUMP, ignore_errors=True)
+    rd.read_parquet(new.edges_in, columns=["src", "dst"]).write_parquet(
+        _FRONTIER_DUMP)
 
     eng2 = PageRankEngine(new, num_cpus_per_actor=0.25)
-    res = eng2.run(mode="barrier", q=warm,
-                   frontier=Frontier(old_layout=old, del_src=ds_, ins_src=is_))
-    eng2.shutdown()
-    return _top20_df(res.ranks)
+    try:
+        ranks_frontier = eng2.run(
+            mode="barrier", q=warm,
+            frontier=Frontier(old_layout=old, del_src=ds_, ins_src=is_)).ranks
+        ranks_full = eng2.run(mode="barrier").ranks
+    finally:
+        eng2.shutdown()
+    return _async_top20_within(ranks_frontier, ranks_full)
 
 
 def _q_pr_hot_split_top20(sf_dir: str):
@@ -507,19 +557,49 @@ def _q_ann_top3(sf_dir: str):
     return _i64(got[["qid", "vec_id", "rnk"]].reset_index(drop=True))
 
 
-def _q_ann_lsh_top3(sf_dir: str):
-    from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import lsh_topk
-
+def _ann_queries(sf_dir: str):
     emb = _emb(sf_dir)
     qdf = (
         emb.to_pandas().query("vec_id < 5").sort_values("vec_id").reset_index(drop=True)
     )
-    queries = np.vstack(qdf["embedding"].to_numpy()).astype(np.float32)
-    got = lsh_topk(emb, queries, k=3, bits=5, multiprobe=2).to_pandas()
-    got["qid"] = qdf["vec_id"].to_numpy()[got["qid"].to_numpy()]
-    got = got.sort_values(["qid", "score"], ascending=[True, False])
-    got["rnk"] = got.groupby("qid").cumcount() + 1
-    return _i64(got[["qid", "vec_id", "rnk"]].reset_index(drop=True))
+    return emb, np.vstack(qdf["embedding"].to_numpy()).astype(np.float64)
+
+
+def _ann_recall_df(sf_dir: str, got, min_hits: int):
+    """(qid, n_results, recall_ok) for an approximate-ANN result vs the
+    engine's exact float64 brute-force top-3 (the same kernel the hash-green
+    ``ann_top3`` query runs, so the reference set is itself SQL-verified).
+    ``recall_ok = |approx ∩ exact| >= min_hits`` — thresholded because the
+    probed-bucket subsets make full recall corpus-dependent; the thresholds
+    sit at the measured-stable floor over repeated runs at sf0.01 (LSH
+    n_hits per qid = {1,2,3,3,2}, IVF = 3 for all five, each constant
+    across 6 runs)."""
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import (
+        topk_cosine,
+    )
+
+    emb, queries = _ann_queries(sf_dir)
+    exact = topk_cosine(emb, queries, k=3, dtype=np.float64).to_pandas()
+    exact_sets = {int(q): set(g["vec_id"]) for q, g in exact.groupby("qid")}
+    rows = []
+    for q, g in got.to_pandas().groupby("qid"):
+        hits = len(set(g["vec_id"]) & exact_sets[int(q)])
+        rows.append((int(q), len(g), int(hits >= min_hits)))
+    df = pd.DataFrame(rows, columns=["qid", "n_results", "recall_ok"])
+    return _i64(df.sort_values("qid").reset_index(drop=True))
+
+
+def _q_ann_lsh_top3(sf_dir: str):
+    """LSH-bucketed ANN, SQL-checked via the recall invariant: 3 results per
+    query and recall@3 >= 1/3 vs the exact top-3 (bits=5, multiprobe=2
+    probes half the 32 buckets; measured stable n_hits = {1,2,3,3,2})."""
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import lsh_topk
+
+    emb, queries = _ann_queries(sf_dir)
+    got = lsh_topk(emb, queries.astype(np.float32), k=3, bits=5, multiprobe=2)
+    return _ann_recall_df(sf_dir, got, min_hits=1)
 
 
 def _q_lp_labels(sf_dir: str):
@@ -706,20 +786,15 @@ def _q_mm_frames(sf_dir: str):
 
 
 def _q_ann_ivf_top3(sf_dir: str):
-    """IVF-bucketed ANN (k-means codebook, nprobe probing) — rows-only;
-    recall vs brute force is pinned in tests."""
+    """IVF-bucketed ANN (distributed k-means codebook, nprobe=4 of 8
+    centroid buckets probed), SQL-checked via the recall invariant: 3
+    results per query and recall@3 >= 2/3 vs the exact top-3 (measured
+    stable at 3/3 for all five queries; threshold leaves margin)."""
     from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import ivf_topk
 
-    emb = _emb(sf_dir)
-    qdf = (
-        emb.to_pandas().query("vec_id < 5").sort_values("vec_id").reset_index(drop=True)
-    )
-    queries = np.vstack(qdf["embedding"].to_numpy()).astype(np.float32)
-    got = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4).to_pandas()
-    got["qid"] = qdf["vec_id"].to_numpy()[got["qid"].to_numpy()]
-    got = got.sort_values(["qid", "score"], ascending=[True, False])
-    got["rnk"] = got.groupby("qid").cumcount() + 1
-    return _i64(got[["qid", "vec_id", "rnk"]].reset_index(drop=True))
+    emb, queries = _ann_queries(sf_dir)
+    got = ivf_topk(emb, queries.astype(np.float32), k=3, n_centroids=8, nprobe=4)
+    return _ann_recall_df(sf_dir, got, min_hits=2)
 
 
 def _q_events_window(sf_dir: str):
@@ -792,6 +867,25 @@ def _q_events_asof(sf_dir: str):
         ["event_id", "user_id", "ts"])
     views = ev.filter(expr="event_type == 'view'").select_columns(
         ["user_id", "ts", "value"])
+    # canonicalize ties: the engine's pick among duplicate (user_id, ts)
+    # view rows is stable-last while DuckDB's ASOF pick is unspecified —
+    # MAX(value) per (user_id, ts) on BOTH sides makes the oracle
+    # deterministic regardless of corpus duplicates.  Per-batch Arrow
+    # partial max + one hash(user)%P part groupby (never a per-key groupby).
+    P = np.uint64(16)
+
+    def part_max(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["user_id", "ts"]).aggregate([("value", "max")])
+        k = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("part", pa.array((k % P).astype(np.int32)))
+
+    def final_max(group: pa.Table) -> pa.Table:
+        t = group.group_by(["user_id", "ts"]).aggregate([("value_max", "max")])
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "value": t["value_max_max"]})
+
+    views = (views.map_batches(part_max, batch_format="pyarrow")
+             .groupby("part").map_groups(final_max, batch_format="pyarrow"))
     out = asof_join(clicks, views, key="user_id", ts="ts", take=["value"],
                     num_partitions=16)
     df = out.to_pandas()[["event_id", "user_id", "value_asof"]]
@@ -854,27 +948,40 @@ def _q_li_pruned_agg(sf_dir: str):
     return _i64(out.to_pandas())
 
 
+# flagship corpus constants: 1000 seeded pages yield exactly 988 distinct
+# linked urls (vertices) — asserted in the query so corpus drift fails loudly
+# on the engine side before the twin can mismatch
+_PAGES_N = 1000
+_PAGES_V = 988
+_PAGES_DIR = os.path.join(tempfile.gettempdir(), "graft_flagship", "pages")
+
+
 def _q_pages_flagship(sf_dir: str):
     """Flagship web pipeline: synthetic corpus -> extract -> graph ->
-    static PageRank -> top 20 (rows-only; corpus is seed-deterministic)."""
-    import tempfile
-
+    static PageRank -> top 20.  SQL-checked end to end: the twin
+    (sqltwins.pages_pagerank_sql) re-extracts the anchors from the SAME
+    corpus parquet with regexp_extract_all, reassigns sorted-url vids, and
+    runs the unrolled sweep — hash equality covers extraction, vid
+    assignment, graph build, and the rank values at 12 decimals."""
     import ray.data as rd
 
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
         PageRankEngine,
     )
-    from pagerank_barrierfree_openmp_dynamic_ray.sources.pages import write_pages
+    from pagerank_barrierfree_openmp_dynamic_ray.sources.pages import (
+        ensure_pages_parquet,
+    )
     from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import (
         build_graph_from_pages,
     )
 
-    root = os.path.join(tempfile.gettempdir(), "graft_flagship")
-    pages_dir = os.path.join(root, "pages")
-    if not os.path.isdir(pages_dir):
-        write_pages(pages_dir, 1000)
+    root = os.path.dirname(_PAGES_DIR)
+    pages_dir = ensure_pages_parquet(_PAGES_DIR, _PAGES_N)
     lay = build_graph_from_pages(
         rd.read_parquet(pages_dir), os.path.join(root, "graph"), num_partitions=4
+    )
+    assert lay.n_vertices == _PAGES_V, (
+        f"flagship corpus drifted: {lay.n_vertices} vertices != {_PAGES_V}"
     )
     eng = PageRankEngine(lay, num_cpus_per_actor=0.25)
     res = eng.run(mode="barrier")
@@ -885,6 +992,16 @@ def _q_pages_flagship(sf_dir: str):
     url_of = verts.set_index("vid")["url"]
     top.insert(0, "url", top["vid"].map(url_of).astype(str))
     return top
+
+
+def _ensure_flagship_corpus() -> str:
+    """Materialize the deterministic flagship corpus (pure pyarrow, no Ray)
+    so the pages twin can read it regardless of execution order."""
+    from pagerank_barrierfree_openmp_dynamic_ray.sources.pages import (
+        ensure_pages_parquet,
+    )
+
+    return ensure_pages_parquet(_PAGES_DIR, _PAGES_N)
 
 
 def entry() -> Any:
@@ -903,7 +1020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_wdegree": _q_lg_wdegree,
         "lg_triangles": _q_lg_triangles,
         # iterative graph algorithms (deterministic ones — incl. hot-split —
-        # SQL-checked via unrolled sweep twins; async ones rows-only)
+        # SQL-checked via unrolled sweep twins; async ones via invariant
+        # twins: stable top-20 vid set + engine-side fixed-point agreement)
         "pr_top20": _q_pr_top20,
         "pr_barrierfree_top20": _q_pr_barrierfree_top20,
         "pr_dynamic_frontier_top20": _q_pr_dynamic_frontier_top20,
@@ -1112,8 +1230,8 @@ ORDER BY e.event_id, c.click_id
         "events_asof": """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events
                 WHERE event_type = 'click'),
-     views AS (SELECT user_id, ts, value FROM events
-               WHERE event_type = 'view')
+     views AS (SELECT user_id, ts, MAX(value) AS value FROM events
+               WHERE event_type = 'view' GROUP BY user_id, ts)
 SELECT c.event_id, c.user_id, v.value AS last_view_value
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
@@ -1146,4 +1264,29 @@ ORDER BY c.event_id
         "mm_image_stats": sqltwins.mm_image_sql(),
         "mm_audio_stats": sqltwins.mm_audio_sql(),
         "mm_frames": sqltwins.mm_frames_sql(),
+        # ---- invariant twins for the async/approximate surfaces ----
+        # async PageRank: top-20 vid set must equal the SQL fixpoint's and
+        # the engine asserts |async - sync| < 1e-6 per vid (see
+        # _async_top20_within for the measured margins)
+        "pr_barrierfree_top20": sqltwins.pagerank_vids_sql(_E, V, 80),
+        # the frontier twin reads the updated graph the query dumps (the
+        # query always rewrites the dump before returning, and the driver
+        # runs the Ray pipeline before its oracle)
+        "pr_dynamic_frontier_top20": sqltwins.pagerank_vids_sql(
+            f"SELECT src, dst FROM read_parquet('{_FRONTIER_DUMP}/*.parquet')",
+            V, 80),
+        # approximate-ANN recall invariants vs the exact top-3 (ann_top3's
+        # hash-green kernel); thresholds at the measured-stable floor
+        "ann_lsh_top3": "SELECT vec_id AS qid, 3::BIGINT AS n_results, "
+        "1::BIGINT AS recall_ok FROM embeddings WHERE vec_id < 5 "
+        "ORDER BY qid",
+        "ann_ivf_top3": "SELECT vec_id AS qid, 3::BIGINT AS n_results, "
+        "1::BIGINT AS recall_ok FROM embeddings WHERE vec_id < 5 "
+        "ORDER BY qid",
+        # full flagship twin: extraction + vid assignment + unrolled
+        # PageRank over the same corpus parquet (ensured without Ray, so
+        # query/oracle execution order cannot matter)
+        "pages_flagship": sqltwins.pages_pagerank_sql(
+            os.path.join(
+                _ensure_flagship_corpus(), "*.parquet"), _PAGES_V, 70),
     }

@@ -117,6 +117,60 @@ allv AS MATERIALIZED (SELECT x.range::BIGINT AS vid FROM range({V}) x)"""
             ") ORDER BY r DESC, vid LIMIT 20")
 
 
+def pagerank_vids_sql(edge_sql: str, V: int, n_sweeps: int,
+                      tol: float = 1e-10) -> str:
+    """Invariant twin for the ASYNC PageRank surfaces (barrier-free, dynamic
+    frontier): the synchronous fixpoint's top-20 **vid set** plus a constant
+    ``within_tol = 1``.  The engine-side query returns its async top-20 vids
+    (measured stable: the rank gap between positions 20/21 is ~1.1e-6 vs
+    ~5.6e-10 async run-to-run noise at sf0.01) and an engine-computed
+    ``|async - sync| < 1e-6`` flag per vid — so the hash check asserts both
+    set equality with the SQL fixpoint and fixed-point agreement, without
+    fighting the 12th-decimal async noise that makes a rank value-hash a coin
+    flip.  The unroll-failure sentinel row (vid = -1) maps to within_tol = 0,
+    staying loud."""
+    inner = pagerank_sql(edge_sql, V, n_sweeps, tol)
+    return (f"SELECT vid, CAST(vid >= 0 AS BIGINT) AS within_tol "
+            f"FROM ({inner}) t ORDER BY vid")
+
+
+def _pages_graph_ctes(pages_glob: str, p: str = "") -> str:
+    """CTEs reproducing the flagship ingest: anchor extraction from raw html
+    (functions/extract._HREF_RE on the synthetic corpus, where every anchor
+    is exactly ``<a href="URL">``) and the sorted-url dense vid assignment
+    (stages/graph_build.vertex_table: distinct urls over src+dst,
+    vid = rank in url sort order).  ``p`` prefixes the CTE names — the twin
+    instantiates these both inside the unrolled-PageRank subquery and in the
+    outer url-lookup scope, and DuckDB rejects duplicate CTE aliases across
+    nested scopes."""
+    return f"""{p}pages AS (SELECT url, decode(html) AS h
+          FROM read_parquet('{pages_glob}')),
+{p}links AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(h, '<a href="([^"]+)">', 1))
+                   AS dst_url
+          FROM {p}pages),
+{p}verts AS MATERIALIZED (
+  SELECT url, row_number() OVER (ORDER BY url) - 1 AS vid
+  FROM (SELECT DISTINCT url FROM (
+        SELECT src_url AS url FROM {p}links
+        UNION ALL SELECT dst_url FROM {p}links)))"""
+
+
+def pages_pagerank_sql(pages_glob: str, V: int, n_sweeps: int) -> str:
+    """Full flagship twin: corpus parquet -> regexp link extraction ->
+    sorted-url vids -> unrolled static PageRank -> top-20 (url, vid, rank).
+    ``V`` must equal the corpus' distinct-url count (the query asserts it
+    engine-side, so a corpus drift fails loudly on both sides)."""
+    edge_sql = f"""WITH {_pages_graph_ctes(pages_glob)}
+SELECT s.vid AS src, d.vid AS dst
+FROM links JOIN verts s ON s.url = links.src_url
+           JOIN verts d ON d.url = links.dst_url"""
+    inner = pagerank_sql(edge_sql, V, n_sweeps)
+    return f"""WITH {_pages_graph_ctes(pages_glob, p="o")}
+SELECT v.url, t.vid, t.rank
+FROM ({inner}) t LEFT JOIN overts v ON v.vid = t.vid"""
+
+
 def _sym_graph(edge_sql: str, V: int) -> str:
     """Symmetrized derived graph: distinct non-self edges both ways plus a
     self-loop on every vertex (pipelines/components.symmetric_layout_from)."""

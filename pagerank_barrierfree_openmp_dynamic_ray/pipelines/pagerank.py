@@ -272,6 +272,21 @@ class PageRankEngine:
             sum(ray.get([a.dead_mass.remote() for a in self.actors]))
             if dead else 0.0
         )
+        # crash-stop bookkeeping: a partition crashes at most once per run
+        # (see the rebuild branch below for why), but keeps its SLEEP
+        # injection afterwards — only the crash knobs are stripped
+        crash_done: set = set()
+
+        def _fault_for(p: int):
+            if not fault or p not in fault.get("pids", range(self.P)):
+                return None
+            if p in crash_done:
+                f2 = {k: v for k, v in fault.items()
+                      if k not in ("crash_prob", "crash_at")}
+                return f2 if (f2.get("sleep_prob") or f2.get("sleep_prob_v")) \
+                    else None
+            return fault
+
         while iters < max_iter:
             c0_t = c0 + damping * dead_total / self.n if dead else c0
             hot_sums = None
@@ -286,9 +301,7 @@ class PageRankEngine:
             futs = [
                 a.step.options(num_returns=2).remote(
                     None if hot_on else shard_refs, c0_t, damping, tol, fd,
-                    hot_sums,
-                    fault if fault and p in fault.get("pids", range(self.P))
-                    else None,
+                    hot_sums, _fault_for(p),
                 )
                 for p, a in enumerate(self.actors)
             ]
@@ -307,16 +320,33 @@ class PageRankEngine:
                         died.append(p)
                 if died:
                     self._crashed_parts += len(died)
-                    fault = dict(fault)
-                    fault["pids"] = set(fault.get("pids", range(self.P))) - set(died)
+                    # CRASH-STOP SEMANTICS (one crash per partition, both
+                    # knobs): the reference's model is a permanently dead
+                    # thread (`README.md:110-127` — barrier-free survivors
+                    # converge around it); the with-barrier recovery
+                    # analogue rebuilds the partition ONCE and exempts it
+                    # from further crash draws.  This is deliberate, not a
+                    # memoryless process: a rebuilt partition restarts at
+                    # 1/N (no checkpoint), and re-eligible crashes at any
+                    # test-visible rate re-perturb faster than the ~115
+                    # synchronous sweeps the 1e-10 tail needs — measured
+                    # 500-iteration non-convergence at p=2e-3.  Rebuilt
+                    # partitions DO keep their sleep injection (_fault_for
+                    # strips only the crash knobs), and the caller's fault
+                    # dict is never mutated.
+                    crash_done.update(died)
                     # survivors swept this iteration: their frontier marks
                     # must not be lost across the redo
                     for s in stats:
                         for p, arr in s["marks"].items():
                             self.actors[p].mark_affected.remote(arr)
+                    gens = getattr(self, "_rebuild_gen", {})
+                    self._rebuild_gen = gens
                     for p in died:
                         self._rebuild_actor(p, frontier_d is not None,
                                             checkpoint_dir)
+                        gens[p] = gens.get(p, 0) + 1
+                        self.actors[p].reseed_fault.remote(gens[p])
                     # dead actors' shard returns died with them — refresh all
                     shard_refs = [a.shard.remote() for a in self.actors]
                     if dead:

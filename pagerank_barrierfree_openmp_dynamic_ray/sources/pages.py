@@ -107,3 +107,23 @@ def write_pages(path: str, n_pages: int, seed: int = SEED) -> str:
     per chunk of page ids)."""
     generate_pages(n_pages, seed).write_parquet(path)
     return path
+
+
+def ensure_pages_parquet(path: str, n_pages: int, seed: int = SEED) -> str:
+    """Materialize the corpus WITHOUT Ray (pure pyarrow, one file) if ``path``
+    is missing.  Row content is identical to :func:`write_pages` (per-page rng
+    is independent of sharding), so the flagship query and its DuckDB twin can
+    each ensure the fixture exists regardless of which runs first."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pages_table(0, n_pages, n_pages, seed),
+            os.path.join(tmp, "pages.parquet"),
+        )
+        os.rename(tmp, path)
+    return path

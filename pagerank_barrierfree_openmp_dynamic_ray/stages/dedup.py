@@ -535,7 +535,26 @@ def distinct_count(ds, group_col: str, distinct_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([group_col, distinct_col]).group_by(
             [group_col, distinct_col]).aggregate([])
-        v = t[distinct_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        col = t[distinct_col]
+        typ = col.type
+        # partition assignment must be identical for equal values on every
+        # worker: integers hash by value, strings by the version-stable
+        # byte polynomial (never a library hash); other types are rejected
+        # up front instead of erroring deep inside map_batches
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            from ..functions.hashing import stable_hash_strings
+
+            v = stable_hash_strings(col)
+        elif pa.types.is_temporal(typ):
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
+                np.uint64)
+        elif pa.types.is_integer(typ) or pa.types.is_boolean(typ):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            raise TypeError(
+                f"distinct_count: unsupported distinct column type {typ} "
+                f"for {distinct_col!r} (integer, boolean, temporal and "
+                "string columns are supported)")
         part = (v * np.uint64(2654435761)) % P
         return t.append_column("part", pa.array(part.astype(np.int32)))
 

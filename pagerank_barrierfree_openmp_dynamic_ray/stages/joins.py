@@ -75,7 +75,8 @@ def _ts_int(col) -> np.ndarray:
 
 
 def _keyed_time_join(left, right, key: str, left_ts: str, right_ts: str,
-                     take: list[str], num_partitions: int, what: str, probe):
+                     take: list[str], num_partitions: int, what: str, probe,
+                     suffix: str = ""):
     """Shared plan for the time-keyed joins (asof / range): the right side
     is hash-split ONCE into object-store partitions by ``key % P``
     (``stages.dedup.partition_side_table``); left rows are co-located by
@@ -87,6 +88,16 @@ def _keyed_time_join(left, right, key: str, left_ts: str, right_ts: str,
     2) < 2^63`` (raises ValueError) — holds for billions of keys over
     multi-year spans at microsecond resolution."""
     from .dedup import partition_side_table
+
+    # the plan appends a 'part' routing column and '<take><suffix>' output
+    # columns to the left table — a pre-existing column with either name
+    # would produce duplicate Arrow fields and a wrong/failing groupby
+    reserved = {"part"} | {f"{c}{suffix}" for c in take}
+    clash = reserved & set(left.schema().names)
+    if clash:
+        raise ValueError(
+            f"{what}: left columns {sorted(clash)} collide with the plan's "
+            "routing/output columns — rename them first")
 
     P = np.uint64(num_partitions)
     side = right.select_columns([key, right_ts] + take)
@@ -164,7 +175,7 @@ def asof_join(left, right, key: str, ts: str, take: list[str],
         return out
 
     return _keyed_time_join(left, right, key, ts, ts, take, num_partitions,
-                            "asof_join", probe)
+                            "asof_join", probe, suffix="_asof")
 
 
 def range_join(left, right, key: str, left_ts: str, right_ts: str,
@@ -206,4 +217,4 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
         return out
 
     return _keyed_time_join(left, right, key, left_ts, right_ts, take,
-                            num_partitions, "range_join", probe)
+                            num_partitions, "range_join", probe, suffix="_r")

@@ -362,6 +362,13 @@ class CsrPartitionActor:
         self.conv[:] = False
         self._step_count = 0  # crash_at counts iterations of the CURRENT run
 
+    def reseed_fault(self, salt: int) -> None:
+        """Re-salt the superstep fault rng after a crash rebuild: a rebuilt
+        actor would otherwise replay the [pid, 987] sequence from the start,
+        making a first-draw crash deterministic-forever instead of the
+        memoryless per-vertex model (`main.cxx:137-169`)."""
+        self._fault_rng = np.random.default_rng([self.pid, 987, salt])
+
     def set_frontier_mode(self, on: bool) -> None:
         """on=False -> every vertex affected every sweep (static/naive);
         on=True -> only ``vaff`` vertices sweep (dynamic frontier)."""

@@ -431,3 +431,22 @@ def test_generate_batch_from_layout(dyn):
     new_pairs = set(zip(s1.tolist(), d1.tolist()))
     for u, v in zip(is_.tolist(), id_.tolist()):
         assert (u, v) in new_pairs
+
+
+def test_crash_stop_semantics_and_sleep_retention(dyn, oracle_new):
+    """Crash-stop semantics (documented next to the rebuild branch): each
+    partition crashes AT MOST ONCE per run — the reference's permanently-
+    dead-thread model — the caller's fault dict is never mutated, rebuilt
+    partitions keep their sleep injection, and the run still reaches the
+    exact fixed point."""
+    _, new, _, _ = dyn
+    eng = PageRankEngine(new, num_cpus_per_actor=0.25)
+    fault = {"crash_prob": 2e-3, "sleep_prob_v": 1e-3, "sleep_s": 0.002}
+    try:
+        res = eng.run(mode="barrier", fault=fault)
+        np.testing.assert_allclose(res.ranks, oracle_new, atol=1e-6)
+        assert fault == {"crash_prob": 2e-3, "sleep_prob_v": 1e-3,
+                         "sleep_s": 0.002}
+        assert 1 <= res.stats["crashed_partitions"] <= 3
+    finally:
+        eng.shutdown()

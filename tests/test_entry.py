@@ -74,3 +74,49 @@ def test_sqltwin_unroll_budget_fails_loudly():
     # adequate budgets produce NO sentinel
     ok = con.sql(sqltwins.pagerank_sql(E, V, 80)).df()
     assert (ok["vid"] >= 0).all() and len(ok) == 20
+
+
+def test_async_invariant_twin_barrierfree(entry_mod):
+    """The invariant-twin contract at the cheap scale: the barrier-free
+    query's top-20 vid set equals the unrolled-sweep SQL fixpoint's, and
+    every within_tol flag is 1 (sqltwins.pagerank_vids_sql)."""
+    import duckdb
+
+    df = entry_mod.queries()["pr_barrierfree_top20"](SF)
+    assert list(df.columns) == ["vid", "within_tol"]
+    assert (df["within_tol"] == 1).all()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF}/lineitem.parquet')")
+    want = con.sql(entry_mod.oracle_sql()["pr_barrierfree_top20"]).df()
+    assert list(df["vid"]) == list(want["vid"])
+    assert (want["within_tol"] == 1).all()
+
+
+def test_ann_recall_invariant_queries(entry_mod):
+    """LSH/IVF queries return the thresholded recall invariant shape and
+    hold their floors at sf0.001 as well (measured stable)."""
+    for name in ("ann_lsh_top3", "ann_ivf_top3"):
+        df = entry_mod.queries()[name](SF)
+        assert list(df.columns) == ["qid", "n_results", "recall_ok"]
+        assert list(df["qid"]) == [0, 1, 2, 3, 4]
+        assert (df["n_results"] == 3).all()
+        assert (df["recall_ok"] == 1).all(), name
+
+
+def test_pages_flagship_matches_sql_twin(entry_mod):
+    """Flagship chain vs the full extraction+vids+unrolled-PageRank twin —
+    the strongest single check in the suite: hash-level equality of
+    (url, vid, rank) implies extraction, vid assignment, graph build and
+    rank values all agree with an independent SQL derivation."""
+    import duckdb
+    import pandas as pd
+
+    got = entry_mod.queries()["pages_flagship"](SF)
+    con = duckdb.connect()
+    want = con.sql(entry_mod.oracle_sql()["pages_flagship"]).df()
+    g = got.sort_values("vid").reset_index(drop=True)
+    w = want.sort_values("vid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["url", "vid", "rank"]], w[["url", "vid", "rank"]],
+        check_dtype=False)

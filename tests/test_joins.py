@@ -218,3 +218,27 @@ def test_asof_join_preserves_int64_and_nulls(ray_session):
     rows = {(r["k"], r["ts"]): r["v_asof"] for r in t.to_pylist()}
     assert rows[(0, 1)] is None and rows[(1, 10)] is None
     assert rows[(0, 10)] == big
+
+
+def test_keyed_time_join_rejects_column_collisions(ray_session):
+    """A left table already carrying 'part' or an output-suffixed column
+    must be rejected up front (duplicate Arrow fields would corrupt the
+    part groupby silently otherwise)."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.joins import (
+        asof_join,
+        range_join,
+    )
+
+    right = rd.from_items([{"k": 1, "ts": 3, "v": 7}])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_items([{"k": 1, "ts": 5, "part": 0}]), right,
+                  key="k", ts="ts", take=["v"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_items([{"k": 1, "ts": 5, "v_asof": 0}]), right,
+                  key="k", ts="ts", take=["v"])
+    with pytest.raises(ValueError, match="collide"):
+        range_join(rd.from_items([{"k": 1, "ts": 5, "v_r": 0}]), right,
+                   key="k", left_ts="ts", right_ts="ts",
+                   lower_us=-10, upper_us=0, take=["v"])

@@ -422,3 +422,30 @@ def test_distinct_count_matches_pandas(ray_session):
     want = (pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
             .reset_index(name="n_distinct"))
     pd.testing.assert_frame_equal(got, want.astype({"g": "int64", "n_distinct": "int64"}))
+
+
+def test_distinct_count_string_and_temporal_columns(ray_session):
+    """distinct_count partition-hashes strings with the version-stable byte
+    polynomial and temporal columns via their int64 view (ADVICE r03: the
+    uint64 cast used to explode deep inside map_batches); unsupported types
+    fail loudly up front."""
+    import datetime as dt
+
+    import pytest
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import distinct_count
+
+    rows = ([{"g": "a", "s": f"u{i % 7}"} for i in range(50)]
+            + [{"g": "b", "s": f"u{i % 3}"} for i in range(9)])
+    out = distinct_count(rd.from_items(rows), "g", "s", num_partitions=8)
+    assert list(out["g"]) == ["a", "b"]
+    assert list(out["n_distinct"]) == [7, 3]
+
+    trows = [{"g": "x", "t": dt.datetime(2025, 1, 1) + dt.timedelta(hours=i % 5)}
+             for i in range(40)]
+    tout = distinct_count(rd.from_items(trows), "g", "t", num_partitions=8)
+    assert list(tout["n_distinct"]) == [5]
+
+    with pytest.raises(Exception, match="unsupported distinct column type"):
+        distinct_count(rd.from_items([{"g": "a", "s": 1.5}]), "g", "s")
