@@ -493,7 +493,24 @@ def run_batches() -> dict:
         row["frontier"] = {"wall_s": round(time.perf_counter() - t0, 3),
                            "iters": rf.iterations,
                            "swept_vertices": rf.stats["swept_vertices"]}
+        # traversal-dynamic (`src/pagerank.hxx:306-352`): the reference
+        # benches it alongside frontier/naive even while excluding it from
+        # the headline (`README.md:19-21`)
+        from pagerank_barrierfree_openmp_dynamic_ray.pipelines.traversal import (
+            affected_traversal,
+        )
+
+        t0 = time.perf_counter()
+        aff = affected_traversal(base, new, ds_, is_)
+        rt_ = eng2.run(mode="barrier", q=warm,
+                       frontier=Frontier(old_layout=base, del_src=ds_,
+                                         ins_src=is_, affected=aff))
+        row["traversal"] = {"wall_s": round(time.perf_counter() - t0, 3),
+                            "iters": rt_.iterations,
+                            "affected_vertices": int(len(aff)),
+                            "swept_vertices": rt_.stats["swept_vertices"]}
         row["rank_linf_diff"] = float(np.abs(rn.ranks - rf.ranks).max())
+        row["traversal_linf_diff"] = float(np.abs(rn.ranks - rt_.ranks).max())
         row["sweep_savings"] = round(
             rn.stats["swept_vertices"] / max(1, rf.stats["swept_vertices"]), 2
         )

@@ -127,16 +127,28 @@ def cmd_sweep(args) -> None:
             )
             try:
                 # the reference's per-batch golden run s0 (`main.cxx:191`)
-                s0 = eng.run(mode="barrier", tol=args.tol).ranks
+                # at a TIGHTER tolerance than the technique runs — the
+                # reference computes its golden at 1e-100, i.e. the machine
+                # fixpoint; 1e-13 is float64's practical L-inf floor here
+                s0 = eng.run(mode="barrier", tol=args.ref_tol).ranks
                 fr = Frontier(old_layout=lay, del_src=ds_, ins_src=is_)
+                from .pipelines.traversal import affected_traversal
+
+                aff = affected_traversal(lay, upd, ds_, is_)
+                tr = Frontier(old_layout=lay, del_src=ds_, ins_src=is_,
+                              affected=aff)
                 techniques = {
                     "pagerankBasic static": dict(mode="barrier"),
                     "pagerankBasic naive-dynamic": dict(mode="barrier", q=warm),
+                    "pagerankBasic dynamic-traversal": dict(
+                        mode="barrier", q=warm, frontier=tr),
                     "pagerankBasic dynamic-frontier": dict(
                         mode="barrier", q=warm, frontier=fr),
                     "pagerankBarrierfree static": dict(mode="barrierfree"),
                     "pagerankBarrierfree naive-dynamic": dict(
                         mode="barrierfree", q=warm),
+                    "pagerankBarrierfree dynamic-traversal": dict(
+                        mode="barrierfree", q=warm, frontier=tr),
                     "pagerankBarrierfree dynamic-frontier": dict(
                         mode="barrierfree", q=warm, frontier=fr),
                 }
@@ -243,6 +255,9 @@ def main(argv=None) -> None:
                    default=int(os.environ.get("REPEAT_BATCH", "5")))
     s.add_argument("--partitions", type=int, default=8)
     s.add_argument("--tol", type=float, default=1e-10)
+    s.add_argument("--ref-tol", type=float, default=1e-13,
+                   help="tolerance of the golden s0 run the L-inf column "
+                   "compares against (reference: 1e-100, main.cxx:24)")
     s.add_argument("--seed", type=int, default=42)
     s.set_defaults(fn=cmd_sweep)
 

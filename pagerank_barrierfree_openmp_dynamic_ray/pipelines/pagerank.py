@@ -50,11 +50,19 @@ class PageRankResult:
 @dataclass
 class Frontier:
     """Dynamic-update descriptor: the old graph layout plus the applied
-    deletion/insertion batches (endpoint arrays, global vids)."""
+    deletion/insertion batches (endpoint arrays, global vids).
+
+    ``affected``: optional pre-computed affected vid set — the TRAVERSAL
+    dynamic rule (`src/pagerank.hxx:306-352`,
+    pipelines/traversal.affected_traversal): when set, seeding marks exactly
+    this set instead of the frontier expansion rule's batch-endpoint
+    out-neighborhoods.  The set is closed under reachability, so in-run
+    Δ-expansion can only re-mark vertices already inside it."""
 
     old_layout: GraphLayout
     del_src: np.ndarray
     ins_src: np.ndarray
+    affected: np.ndarray | None = None
 
 
 class PageRankEngine:
@@ -126,7 +134,19 @@ class PageRankEngine:
         """vaff seeding (`src/pagerank.hxx:386-391`): out-neighbors of
         deletion sources in the OLD graph, of insertion sources in the NEW
         graph.  Old-graph adjacency is read from the old layout's
-        ``edges_out`` partitions (only the parts owning a deletion source)."""
+        ``edges_out`` partitions (only the parts owning a deletion source).
+        A pre-computed ``affected`` set (traversal variant) is marked
+        verbatim instead."""
+        if fr.affected is not None:
+            vids = np.unique(np.asarray(fr.affected, dtype=np.int64))
+            vids = vids[(vids >= 0) & (vids < self.n)]
+            futs = []
+            for p in range(self.P):
+                mine = vids[vids % self.P == p] // self.P
+                if len(mine):
+                    futs.append(self.actors[p].mark_affected.remote(mine))
+            ray.get(futs)
+            return
         marks = []
         ds = np.unique(np.asarray(fr.del_src, dtype=np.int64))
         if len(ds):
@@ -189,6 +209,8 @@ class PageRankEngine:
         variant = (
             "frontier" if frontier is not None else ("naive" if q is not None else "static")
         )
+        if frontier is not None and frontier.affected is not None:
+            variant = "traversal"
         if resume_from is not None:
             meta = read_lineage(resume_from)
             variant = meta.get("variant", variant)

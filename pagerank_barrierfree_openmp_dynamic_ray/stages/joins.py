@@ -74,9 +74,172 @@ def _ts_int(col) -> np.ndarray:
     return a.astype(np.int64)
 
 
+# right-side rows per resolve task before a key is split by time range
+HOT_KEY_ROWS = 200_000
+
+
+def _hot_key_stats(side, key: str, right_ts: str, threshold: int,
+                   num_partitions: int) -> dict:
+    """{key: (count, tmin_us, tmax_us)} for keys with >= ``threshold`` right
+    rows — per-batch Arrow partial (count, min, max) -> ONE hash(key)%P part
+    groupby -> vectorized per-part fold -> tiny driver table (hot keys are
+    few by definition; everything below threshold dies in its partition)."""
+    P = np.uint64(num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([key]).aggregate(
+            [([], "count_all"), (right_ts, "min"), (right_ts, "max")])
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            key: t[key], "c": t["count_all"],
+            "tmn": pa.array(_ts_int(t[f"{right_ts}_min"])),
+            "tmx": pa.array(_ts_int(t[f"{right_ts}_max"])),
+            "part": pa.array((k % P).astype(np.int32)),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.select([key, "c", "tmn", "tmx"]).to_pandas()
+        g = df.groupby(key, sort=False).agg(
+            c=("c", "sum"), tmn=("tmn", "min"), tmx=("tmx", "max")
+        ).reset_index()
+        g = g[g["c"] >= threshold]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (side.map_batches(partial, batch_format="pyarrow")
+           .groupby("part").map_groups(fold, batch_format="pyarrow")
+           .to_pandas())
+    if key not in out.columns:  # nothing hot: empty Dataset drops the schema
+        return {}
+    return {int(r[key]): (int(r["c"]), int(r["tmn"]), int(r["tmx"]))
+            for _, r in out.iterrows()}
+
+
+def _hot_route(hot_stats: dict, target_rows: int, base: int) -> dict:
+    """{key: (sub_base, interior_cuts)}: key's time axis is split into
+    S = ceil(count / target) buckets (capped 64) by EVENLY SPACED interior
+    cuts; bucket 0 / S-1 extend to -inf / +inf so out-of-range left rows
+    route safely.  Sub-part ids start at ``base`` (after the P plain
+    partitions)."""
+    route = {}
+    for k, (c, tmn, tmx) in sorted(hot_stats.items()):
+        s = int(min(64, -(-c // target_rows)))
+        if s < 2 or tmx <= tmn:
+            continue  # cannot or need not split
+        interior = np.linspace(tmn, tmx, s + 1)[1:-1].astype(np.int64)
+        route[k] = (base, interior)
+        base += s
+    return route, base
+
+
+def _bucket(interior: np.ndarray, x: np.ndarray) -> np.ndarray:
+    return np.searchsorted(interior, x, side="right")
+
+
+@ray.remote
+def _split_block_hot(tab: pa.Table, key: str, right_ts: str, P: int,
+                     route: dict, n_parts: int, mode: str,
+                     lower_us: int, upper_us: int):
+    """One right-side block -> ``n_parts`` sub-tables + carry candidates.
+    Non-hot rows split by key%P exactly like ``_split_block``; a hot key's
+    rows go to its time bucket (asof) or to EVERY bucket whose left-ts range
+    can match them (range: window-overlap replication).  The last return
+    slot is the asof carry-candidate table: this block's max-ts row per
+    (hot key, bucket), tagged ``__bucket`` — the driver prefix-folds these
+    into per-bucket boundary-carry rows."""
+    k = tab[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = _ts_int(tab[right_ts])
+    hot_keys = np.fromiter(route.keys(), dtype=np.int64, count=len(route))
+    is_hot = np.isin(k, hot_keys)
+    base_part = (k.astype(np.uint64) % np.uint64(P)).astype(np.int64)
+    outs = [tab.filter(pa.array(~is_hot & (base_part == p)))
+            for p in range(P)]
+    outs += [None] * (n_parts - P)
+    carry_tabs = []
+    for kh, (sub_base, interior) in route.items():
+        m = k == kh
+        if not m.any():
+            continue
+        th = t[m]
+        sub = tab.filter(pa.array(m))
+        S = len(interior) + 1
+        if mode == "asof":
+            b = _bucket(interior, th)
+            for s in np.unique(b):
+                outs[sub_base + int(s)] = sub.filter(pa.array(b == s))
+            # per-bucket max-ts row of THIS block (carry candidate)
+            order = np.lexsort((th, b))
+            last = order[np.flatnonzero(np.diff(b[order], append=S + 1))]
+            carry_tabs.append(sub.take(pa.array(last)).append_column(
+                "__bucket", pa.array(b[last].astype(np.int64))))
+        else:  # range: replicate to all buckets the window can touch
+            s_lo = _bucket(interior, th - np.int64(upper_us))
+            s_hi = _bucket(interior, th - np.int64(lower_us))
+            counts = s_hi - s_lo + 1
+            rows = np.repeat(np.arange(len(th)), counts)
+            offs = np.arange(int(counts.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+            buckets = np.repeat(s_lo, counts) + offs
+            rep = sub.take(pa.array(rows))
+            for s in np.unique(buckets):
+                outs[sub_base + int(s)] = rep.filter(pa.array(buckets == s))
+    for i in range(P, n_parts):
+        if outs[i] is None:
+            outs[i] = tab.slice(0, 0)
+    carry = (pa.concat_tables(carry_tabs) if carry_tabs
+             else tab.slice(0, 0).append_column(
+                 "__bucket", pa.array(np.empty(0, np.int64))))
+    return tuple(outs) + (carry,)
+
+
+def _split_side_hot(side_mat, key: str, right_ts: str, P: int, route: dict,
+                    n_parts: int, mode: str, lower_us: int, upper_us: int):
+    """Hot-aware :func:`...dedup.partition_side_table`: returns per-part ref
+    lists of length ``n_parts`` with asof boundary-carry rows appended to
+    each hot sub-part (the latest right row BEFORE the bucket's left-ts
+    range, so a bucket-local searchsorted still finds matches older than
+    the bucket)."""
+    per_part: list[list] = [[] for _ in range(n_parts)]
+    carry_refs = []
+    for b in side_mat.iter_internal_ref_bundles():
+        for ref, meta in b.blocks:
+            if not meta.num_rows:
+                continue
+            outs = _split_block_hot.options(num_returns=n_parts + 1).remote(
+                ref, key, right_ts, P, route, n_parts, mode,
+                lower_us, upper_us)
+            for p in range(n_parts):
+                per_part[p].append(outs[p])
+            carry_refs.append(outs[n_parts])
+    if mode == "asof" and carry_refs:
+        cand = pa.concat_tables(ray.get(carry_refs))
+        if cand.num_rows:
+            ck = cand[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            cb = cand["__bucket"].to_numpy(zero_copy_only=False)
+            ct = _ts_int(cand[right_ts])
+            for kh, (sub_base, interior) in route.items():
+                m = ck == kh
+                if not m.any():
+                    continue
+                rows = np.flatnonzero(m)
+                best = None  # latest row among buckets < s, walked in order
+                for s in range(len(interior) + 1):
+                    if s > 0 and best is not None:
+                        per_part[sub_base + s].append(ray.put(
+                            cand.take(pa.array([best])).drop(["__bucket"])))
+                    here = rows[cb[rows] == s]
+                    if len(here):
+                        cand_best = here[np.argmax(ct[here])]
+                        if best is None or ct[cand_best] >= ct[best]:
+                            best = cand_best
+    return per_part
+
+
 def _keyed_time_join(left, right, key: str, left_ts: str, right_ts: str,
                      take: list[str], num_partitions: int, what: str, probe,
-                     suffix: str = ""):
+                     suffix: str = "", hot_key_rows: int | None = HOT_KEY_ROWS,
+                     lower_us: int = 0, upper_us: int = 0):
     """Shared plan for the time-keyed joins (asof / range): the right side
     is hash-split ONCE into object-store partitions by ``key % P``
     (``stages.dedup.partition_side_table``); left rows are co-located by
@@ -103,13 +266,41 @@ def _keyed_time_join(left, right, key: str, left_ts: str, right_ts: str,
     side = right.select_columns([key, right_ts] + take)
     _sch = right.schema()  # Ray Data Schema: .names / .types (pyarrow)
     take_types = {c: t for c, t in zip(_sch.names, _sch.types) if c in take}
-    side_parts = partition_side_table(side, key_col=key,
-                                      num_partitions=num_partitions)
+
+    # celebrity-key guard: a key whose right-side history exceeds
+    # ``hot_key_rows`` is sub-split by TIME RANGE into its own resolve
+    # sub-partitions (asof: + boundary-carry row; range: window-overlap
+    # replication), so no single resolve task holds one key's entire
+    # history.  Detection is one cheap combiner pass; {} on uniform keys
+    # keeps the plain key%P plan byte-identical.
+    route: dict = {}
+    n_parts = num_partitions
+    if hot_key_rows:
+        side = side.materialize()
+        hot_stats = _hot_key_stats(side, key, right_ts, hot_key_rows,
+                                   num_partitions)
+        if hot_stats:
+            route, n_parts = _hot_route(hot_stats, hot_key_rows,
+                                        num_partitions)
+    if route:
+        side_parts = _split_side_hot(
+            side, key, right_ts, num_partitions, route, n_parts,
+            "asof" if what == "asof_join" else "range", lower_us, upper_us)
+    else:
+        side_parts = partition_side_table(side, key_col=key,
+                                          num_partitions=num_partitions)
     left_cols = left.schema().names
 
     def tag(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column("part", pa.array((k % P).astype(np.int32)))
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (k.astype(np.uint64) % P).astype(np.int64)
+        if route:
+            lt = _ts_int(batch[left_ts])
+            for kh, (sub_base, interior) in route.items():
+                m = k == kh
+                if m.any():
+                    part[m] = sub_base + _bucket(interior, lt[m])
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
 
     def resolve(group: pa.Table) -> pa.Table:
         import ray as _ray
@@ -145,7 +336,8 @@ def _keyed_time_join(left, right, key: str, left_ts: str, right_ts: str,
 
 
 def asof_join(left, right, key: str, ts: str, take: list[str],
-              num_partitions: int = 32):
+              num_partitions: int = 32,
+              hot_key_rows: int | None = HOT_KEY_ROWS):
     """As-of (backward) join: attach to every left row the ``take`` columns
     of the LATEST right row with the same ``key`` and ``right.ts <=
     left.ts`` — nulls when a key has no prior right row (LEFT semantics).
@@ -175,12 +367,14 @@ def asof_join(left, right, key: str, ts: str, take: list[str],
         return out
 
     return _keyed_time_join(left, right, key, ts, ts, take, num_partitions,
-                            "asof_join", probe, suffix="_asof")
+                            "asof_join", probe, suffix="_asof",
+                            hot_key_rows=hot_key_rows)
 
 
 def range_join(left, right, key: str, left_ts: str, right_ts: str,
                lower_us: int, upper_us: int, take: list[str],
-               num_partitions: int = 32):
+               num_partitions: int = 32,
+               hot_key_rows: int | None = HOT_KEY_ROWS):
     """Time-range join: one output row per (left, right) pair with the same
     ``key`` and ``right_ts`` in ``[left_ts + lower_us, left_ts + upper_us]``
     (bounds inclusive, microseconds; e.g. lower=-3.6e9, upper=0 joins each
@@ -217,4 +411,6 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
         return out
 
     return _keyed_time_join(left, right, key, left_ts, right_ts, take,
-                            num_partitions, "range_join", probe, suffix="_r")
+                            num_partitions, "range_join", probe, suffix="_r",
+                            hot_key_rows=hot_key_rows,
+                            lower_us=lower_us, upper_us=upper_us)

@@ -5,9 +5,9 @@ query: per-batch partials -> one groupby).  Sliding windows need ordered
 neighborhoods, so the shape is: partial-aggregate to one row per (key,
 bucket) — the shuffle carries BUCKET rows, never raw events — then a
 per-key ``map_groups`` computes the window function over the (small) sorted
-bucket series.  Partitioning assumption: one key's bucket series fits a
-worker (buckets = hours, bounded); skewed keys are already collapsed to
-buckets before the shuffle.
+bucket series.  Partitioning assumption: one key's OBSERVED bucket rows fit
+a worker (the roll is sparse — a multi-year gap costs nothing); skewed keys
+are already collapsed to buckets before the shuffle.
 """
 
 from __future__ import annotations
@@ -45,26 +45,28 @@ def sliding_hourly_mean(events, window: int = 3):
 
     def roll(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values("hour").reset_index(drop=True)
-        lo, hi = int(df["hour"].min()), int(df["hour"].max())
-        hours = np.arange(lo, hi + 1, dtype=np.int64)
-        n = np.zeros(len(hours), dtype=np.int64)
-        n[df["hour"].to_numpy() - lo] = df["n_events"].to_numpy()
-        # exact integer window sums (cumsum difference), THEN one double
+        hours = df["hour"].to_numpy().astype(np.int64)
+        n = df["n_events"].to_numpy().astype(np.int64)
+        # SPARSE trailing-window roll over the observed hours only (a key
+        # with events years apart must not allocate the dense hour range —
+        # VERDICT r03 item 8): exact integer window sums via cumsum over
+        # observed buckets + searchsorted window starts, THEN one double
         # division — bit-identical to SQL's SUM(...RANGE w-1 PRECEDING) /
-        # LEAST(w, hours-since-first+1)
+        # LEAST(w, hours-since-first+1) because missing hours contribute 0
+        # to the sum either way.
         cs = np.concatenate([[0], np.cumsum(n)])
-        msum = cs[1:] - cs[np.maximum(np.arange(len(n)) - window + 1, 0)]
-        div = np.minimum(np.arange(len(n)) + 1, window)
+        j_lo = np.searchsorted(hours, hours - window + 1, side="left")
+        msum = cs[1:] - cs[j_lo]
+        div = np.minimum(hours - hours[0] + 1, window)
         avg = msum / div
-        keep = n > 0  # emit only observed hours
         return pa.table(
             {
                 "event_type": pa.array(
-                    np.repeat(df["event_type"].iloc[0], keep.sum())
+                    np.repeat(df["event_type"].iloc[0], len(hours))
                 ),
-                "hour": pa.array(hours[keep]),
-                "n_events": pa.array(n[keep]),
-                "moving_avg": pa.array(avg[keep]),
+                "hour": pa.array(hours),
+                "n_events": pa.array(n),
+                "moving_avg": pa.array(avg),
             }
         )
 

@@ -34,7 +34,7 @@ def test_cli_run_on_mtx(tmp_path):
     assert ranks == sorted(ranks, reverse=True)
 
 
-def test_cli_sweep_logs_six_techniques(tmp_path):
+def test_cli_sweep_logs_eight_techniques(tmp_path):
     p = tmp_path / "g.mtx"
     _write_mtx(p)
     out = subprocess.run(
@@ -46,7 +46,9 @@ def test_cli_sweep_logs_six_techniques(tmp_path):
     ).stdout
     recs = [json.loads(l) for l in out.strip().splitlines()
             if l.startswith("{")]
-    assert len(recs) == 6  # the six reference entry points, main.cxx:209-225
+    # six reference entry points (main.cxx:209-225) + the traversal
+    # variant in both protocols (benched by README.md:19-21)
+    assert len(recs) == 8
     # every technique converged to the per-batch golden run s0
     assert all(r["linf_err_vs_s0"] < 1e-5 for r in recs)
 

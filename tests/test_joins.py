@@ -242,3 +242,34 @@ def test_keyed_time_join_rejects_column_collisions(ray_session):
         range_join(rd.from_items([{"k": 1, "ts": 5, "v_r": 0}]), right,
                    key="k", left_ts="ts", right_ts="ts",
                    lower_us=-10, upper_us=0, take=["v"])
+
+
+def test_sliding_mean_sparse_extreme_span(ray_session):
+    """A key whose events sit decades apart must not allocate the dense
+    hour range (VERDICT r03 item 8: the roll is sparse) and must keep SQL
+    RANGE-frame values: isolated hours average over min(window, elapsed+1)."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.windows import (
+        sliding_hourly_mean,
+    )
+
+    import pyarrow as pa_
+
+    base = dt.datetime(1975, 1, 1)
+    stamps = ([base] * 4 + [base + dt.timedelta(hours=1)] * 2
+              # ~50 years later: a dense roll would allocate ~4.4e5 hours
+              + [base + dt.timedelta(days=18250)] * 6
+              + [base + dt.timedelta(days=18250, hours=2)])
+    ev = rd.from_arrow(pa_.table({
+        "event_type": pa_.array(["a"] * len(stamps)),
+        "ts": pa_.array(stamps, pa_.timestamp("us")),
+    }))
+    df = sliding_hourly_mean(ev, window=3).to_pandas()
+    df = df.sort_values("hour").reset_index(drop=True)
+    assert list(df["n_events"]) == [4, 2, 6, 1]
+    # hour0: 4/1; hour1: (4+2)/2; far hour h: 6/3 (window saturated);
+    # h+2: (6+0+1)/3
+    assert list(df["moving_avg"]) == [4.0, 3.0, 2.0, 7.0 / 3.0]

@@ -82,3 +82,29 @@ def test_l1_l2_norm_convergence(trav_layout):
             eng.run(mode="barrierfree", norm="l1")
     finally:
         eng.shutdown()
+
+
+def test_traversal_dynamic_matches_full_recompute(trav_layout, tmp_path):
+    """Traversal-variant dynamic PageRank (`src/pagerank.hxx:306-352`):
+    warm-start + mark the reachability-closed affected set -> same fixed
+    point as a full recompute on the updated graph."""
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import Frontier
+
+    s0, d0 = layout_edge_arrays(trav_layout)
+    n = trav_layout.n_vertices
+    ds_, dd_, is_, id_ = generate_batch(s0, d0, n, batch_size=10, seed=3)
+    new = apply_batch_to_layout(trav_layout, str(tmp_path / "td"),
+                                ds_, dd_, is_, id_)
+    eng0 = PageRankEngine(trav_layout, num_cpus_per_actor=0.25)
+    warm = eng0.run(mode="barrier").ranks
+    eng0.shutdown()
+    aff = affected_traversal(trav_layout, new, ds_, is_)
+    eng = PageRankEngine(new, num_cpus_per_actor=0.25)
+    try:
+        res = eng.run(mode="barrier", q=warm,
+                      frontier=Frontier(trav_layout, ds_, is_, affected=aff))
+        full = eng.run(mode="barrier").ranks
+        assert res.variant == "traversal"
+        np.testing.assert_allclose(res.ranks, full, atol=1e-6)
+    finally:
+        eng.shutdown()
