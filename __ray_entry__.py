@@ -844,7 +844,8 @@ def _q_events_sliding(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
     )
     df = sliding_hourly_mean(ev, window=3).to_pandas()
-    df["moving_avg"] = np.round(df["moving_avg"], 9)
+    # no rounding: the sparse integer-cumsum roll is bit-identical to the
+    # SQL RANGE frame (one double division on exact integer sums)
     return _i64(df)
 
 
