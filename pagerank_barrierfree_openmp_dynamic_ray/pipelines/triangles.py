@@ -32,6 +32,17 @@ from ray.data.aggregate import Max, Sum
 BROADCAST_EDGE_LIMIT = 50_000_000
 
 
+@ray.remote
+def _sorted_key_array(*blocks: pa.Table) -> np.ndarray:
+    """Concat + sort edge-key blocks into the broadcast closure array —
+    runs in a worker so the driver never materializes the keys; the sorted
+    array is returned straight into the object store."""
+    if not blocks:
+        return np.empty(0, dtype=np.uint64)
+    tab = pa.concat_tables(list(blocks))
+    return np.sort(tab["key"].to_numpy(zero_copy_only=False).astype(np.uint64))
+
+
 def _undirected_pairs(edges, num_partitions: int = 32):
     """Distinct undirected pairs via per-batch Arrow distinct + one
     hash(lo,hi)%P-keyed shuffle with vectorized per-partition distinct (the
@@ -182,23 +193,28 @@ def triangle_count(edges, n_vertices: int, num_partitions: int = 32,
 
     if n_edges <= broadcast_edge_limit:
         # ---- broadcast closure: no wedge leaves its partition ----
-        ekeys = (
-            oriented.map_batches(
-                lambda t: pa.table(
-                    {
-                        "key": pa.array(
-                            t["u"].to_numpy(zero_copy_only=False).astype(np.uint64) * n
-                            + t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .to_pandas()["key"]
-            .to_numpy()
-        )
-        ekeys = np.sort(ekeys)
-        ekey_ref = ray.put(ekeys)
+        # The sorted key array is assembled in a WORKER task from the key
+        # dataset's block refs (VERDICT r03 item 7): the driver holds only
+        # ObjectRefs — its RSS stays flat — and the array lands in the
+        # object store directly where the closure tasks read it.
+        keys_ds = oriented.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": pa.array(
+                        t["u"].to_numpy(zero_copy_only=False).astype(np.uint64) * n
+                        + t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        key_refs = [
+            ref
+            for bundle in keys_ds.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows
+        ]
+        ekey_ref = _sorted_key_array.remote(*key_refs)
 
         def count_part(group: pa.Table) -> pa.Table:
             ek = ray.get(ekey_ref)

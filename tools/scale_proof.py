@@ -1,0 +1,200 @@
+"""One-shot at-scale proof run (VERDICT r03 item 2; reference corpus reaches
+~2e9 edges, `main.sh:74-87`): synthesize a >=1e9-edge symmetric web-ish graph
+deterministically, build the partitioned layout, run static PageRank and
+connected components, and print a JSON line with wall times, edges/s, peak
+RSS, and object-store spill — the table BASELINE.md records.
+
+    python tools/scale_proof.py --pairs 500000000 --vertices 50000000 \
+        --partitions 32 [--out /tmp/scale_proof]
+
+The graph: M canonical pairs (a, b), a uniform over V, b drawn with a
+u^2 inverse-CDF so low ids are celebrity vertices (max degree ~1e5 at the
+default scale — exercises the hot-split layout path), mirrored to 2M
+directed edges before the build's dedup+self-loop pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import threading
+import time
+
+import numpy as np
+import pyarrow as pa
+
+
+def _peak_rss_sampler(stop: threading.Event, out: dict) -> None:
+    """Track peak whole-machine used memory + summed ray-process RSS."""
+    import psutil
+
+    peak_used = 0
+    peak_ray = 0
+    while not stop.is_set():
+        peak_used = max(peak_used, psutil.virtual_memory().used)
+        ray_rss = 0
+        for p in psutil.process_iter(["name", "memory_info"]):
+            try:
+                nm = p.info["name"] or ""
+                if "ray" in nm or "python" in nm:
+                    ray_rss += p.info["memory_info"].rss
+            except Exception:
+                continue
+        peak_ray = max(peak_ray, ray_rss)
+        out["peak_used_gb"] = round(peak_used / 2**30, 2)
+        out["peak_ray_rss_gb"] = round(peak_ray / 2**30, 2)
+        stop.wait(2.0)
+
+
+def _spilled_gb() -> float:
+    """Object-store spill (GB) parsed from the raylet's spill counters."""
+    total = 0
+    for f in glob.glob("/tmp/ray/session_latest/logs/raylet.out"):
+        try:
+            for line in open(f, errors="ignore"):
+                if "Spilled " in line:
+                    # "Spilled 1234 MiB, 56 objects, ..."
+                    try:
+                        mb = float(line.split("Spilled ", 1)[1].split(" MiB")[0])
+                        total = max(total, mb)
+                    except Exception:
+                        continue
+        except OSError:
+            continue
+    return round(total / 1024, 2)
+
+
+def synth_edges(n_pairs: int, n_vertices: int, seed: int, num_blocks: int):
+    """Deterministic mirrored edge Dataset: 2*n_pairs rows of (src, dst)."""
+    import ray.data as rd
+
+    per = -(-n_pairs // num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        bids = batch["id"].to_numpy()
+        outs = []
+        for bid in bids:
+            lo = int(bid) * per
+            m = min(per, n_pairs - lo)
+            if m <= 0:
+                continue
+            rng = np.random.default_rng(seed + int(bid))
+            a = rng.integers(0, n_vertices, m, dtype=np.int64)
+            # inverse-CDF u^2: celebrity-skewed endpoint
+            b = (rng.random(m) ** 2 * n_vertices).astype(np.int64)
+            outs.append(pa.table({
+                "src": pa.array(np.concatenate([a, b]).astype(np.uint64)),
+                "dst": pa.array(np.concatenate([b, a]).astype(np.uint64)),
+            }))
+        return (pa.concat_tables(outs) if outs
+                else pa.table({"src": pa.array([], pa.uint64()),
+                               "dst": pa.array([], pa.uint64())}))
+
+    return rd.range(num_blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=500_000_000)
+    ap.add_argument("--vertices", type=int, default=50_000_000)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--out", default="/tmp/scale_proof")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--hot-threshold", type=int, default=65_536)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the layout dir (default: delete at exit)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
+        LabelEngine,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+        PageRankEngine,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build import (
+        build_graph,
+    )
+
+    rss: dict = {}
+    stop = threading.Event()
+    t = threading.Thread(target=_peak_rss_sampler, args=(stop, rss),
+                         daemon=True)
+    t.start()
+    result: dict = {"pairs": args.pairs, "n_vertices": args.vertices,
+                    "partitions": args.partitions}
+
+    if os.path.isdir(args.out):
+        shutil.rmtree(args.out)
+
+    try:
+        # ---- build (generation streams straight into the build's dedup) ----
+        n_blocks = max(32, args.pairs // 4_000_000)
+        edges = synth_edges(args.pairs, args.vertices, args.seed, n_blocks)
+        t0 = time.perf_counter()
+        lay = build_graph(edges, args.out, args.partitions,
+                          n_vertices=args.vertices,
+                          hot_in_threshold=args.hot_threshold)
+        dt = time.perf_counter() - t0
+        result["build"] = {
+            "wall_s": round(dt, 1), "n_edges": lay.n_edges,
+            "n_hot": lay.n_hot,
+            "edges_per_s": int(lay.n_edges / dt),
+            "layout_gb": round(sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(args.out) for f in fs) / 2**30, 2),
+        }
+        print(json.dumps({"stage": "build", **result["build"]}), flush=True)
+
+        # ---- static PageRank ----
+        t0 = time.perf_counter()
+        eng = PageRankEngine(lay, num_cpus_per_actor=0.9)
+        init_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = eng.run(mode="barrier")
+        dt = time.perf_counter() - t0
+        result["pr_static"] = {
+            "engine_init_s": round(init_s, 1), "wall_s": round(dt, 1),
+            "iterations": res.iterations,
+            "sweep_edges_per_s": int(lay.n_edges * res.iterations / dt),
+            "rank_sum": float(res.ranks.sum()),
+        }
+        print(json.dumps({"stage": "pr_static", **result["pr_static"]}),
+              flush=True)
+        eng.shutdown()
+
+        # ---- connected components (layout is symmetric by construction) ----
+        t0 = time.perf_counter()
+        le = LabelEngine(lay, num_cpus_per_actor=0.9)
+        le_init_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cc = le.connected_components(collect=False)
+        dt = time.perf_counter() - t0
+        result["cc"] = {
+            "engine_init_s": round(le_init_s, 1), "wall_s": round(dt, 1),
+            "iterations": cc.iterations,
+            "sweep_edges_per_s": int(lay.n_edges * cc.iterations / dt),
+        }
+        print(json.dumps({"stage": "cc", **result["cc"]}), flush=True)
+        le.shutdown()
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        result["peak_rss"] = rss
+        result["spilled_gb"] = _spilled_gb()
+        if not args.keep:
+            shutil.rmtree(args.out, ignore_errors=True)
+        print(json.dumps(result), flush=True)
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
