@@ -487,10 +487,19 @@ def build_graph(
         final = add_self_loops(edges, n_vertices, weighted=weighted)
     else:
         final = dedup_edges_weighted(edges) if weighted else dedup_edges(edges)
-    # One pass per layout; the dedup'd table is re-used via lineage (no
-    # driver materialization).  Persist it once to avoid recomputing the
-    # dedup shuffle three times.
-    final = final.materialize()
+    # The dedup pipeline is consumed EXACTLY ONCE, streaming straight into
+    # the edges_out layout write; every later consumer (hot detection, the
+    # edges_in split, degrees, count) re-reads the compressed on-disk copy.
+    # The previous plan pinned the full dedup'd table in the object store
+    # (`materialize()`) while three more passes ran over it — at 1e9 edges
+    # that held ~17 GB hostage and spilled every subsequent shuffle to disk
+    # until the node ran out (measured: 78 GB spill, OutOfDiskError).
+    import ray.data as rd
+
+    _write_partitioned(final, os.path.join(out_dir, "edges_out"), "src",
+                       num_partitions)
+    cols = ["src", "dst"] + (["w"] if weighted else [])
+    final = rd.read_parquet(os.path.join(out_dir, "edges_out"), columns=cols)
 
     hot = (
         find_hot_vertices(final, hot_in_threshold)
@@ -519,7 +528,6 @@ def build_graph(
         _write_partitioned(final, os.path.join(out_dir, "edges_in"), "dst",
                            num_partitions)
 
-    _write_partitioned(final, os.path.join(out_dir, "edges_out"), "src", num_partitions)
     degs = out_weighted_degrees(final) if weighted else out_degrees(final)
     _write_partitioned(degs, os.path.join(out_dir, "degrees"), "vid", num_partitions)
     n_edges = final.count()
