@@ -935,6 +935,33 @@ def _q_events_distinct_users(sf_dir: str):
     return _i64(distinct_count(ev, "event_type", "user_id"))
 
 
+def _q_events_hll_users(sf_dir: str):
+    """Approximate distinct-user count per event type via the mergeable
+    HyperLogLog sketch (`stages/dedup.py::hll_distinct`, p=12), SQL-checked
+    by the invariant pattern: the exact count comes from the hash-green
+    `distinct_count` operator and `within_tol` asserts the sketch lands
+    within 5% relative error (3x its ~1.6% standard error at p=12; measured
+    <2.7% on 150..2M uniform cardinalities).  The sketch ships O(groups *
+    2^p) register rows total — constant communication regardless of input
+    rows, the 100-TB path when even one row per distinct value is too much
+    shuffle."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
+        distinct_count,
+        hll_distinct,
+    )
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    approx = hll_distinct(ev, "event_type", "user_id", p=12)
+    exact = distinct_count(ev, "event_type", "user_id")
+    df = exact.merge(approx, on="event_type")
+    rel = (df["n_approx"] - df["n_distinct"]).abs() / df["n_distinct"]
+    df["within_tol"] = (rel <= 0.05).astype("int64")
+    return _i64(df[["event_type", "n_distinct", "within_tol"]])
+
+
 def _q_li_pruned_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -1059,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_range": _q_events_range,
         "events_distinct_users": _q_events_distinct_users,
+        "events_hll_users": _q_events_hll_users,
         "li_pruned_agg": _q_li_pruned_agg,
     }
 
@@ -1240,6 +1268,12 @@ ORDER BY c.event_id
 """,
         "events_distinct_users": "SELECT event_type, COUNT(DISTINCT user_id)"
         " AS n_distinct FROM events GROUP BY event_type ORDER BY event_type",
+        # HLL sketch invariant twin: exact count is fully hash-checked, and
+        # within_tol = 1 asserts the sketch estimate is within 5% of it
+        # (3x the p=12 standard error; see _q_events_hll_users)
+        "events_hll_users": "SELECT event_type, COUNT(DISTINCT user_id)"
+        " AS n_distinct, 1::BIGINT AS within_tol FROM events"
+        " GROUP BY event_type ORDER BY event_type",
         "li_pruned_agg": "SELECT l_returnflag, COUNT(*) AS n_rows, "
         "SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
         # ---- iterative twins (unrolled sweep chains; functions/sqltwins) ----

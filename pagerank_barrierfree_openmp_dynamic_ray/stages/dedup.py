@@ -515,6 +515,26 @@ def ngram_jaccard_matrix(docs, shingle_k: int = 3):
     return out
 
 
+def _column_hash64(col, col_name: str, op_name: str) -> np.ndarray:
+    """uint64 value-identity hash of an Arrow column, identical for equal
+    values on every worker: integers/temporals hash by value, strings by the
+    version-stable byte polynomial (never a library hash); other types are
+    rejected up front instead of erroring deep inside ``map_batches``."""
+    typ = col.type
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        from ..functions.hashing import stable_hash_strings
+
+        return stable_hash_strings(col)
+    if pa.types.is_temporal(typ):
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+    if pa.types.is_integer(typ) or pa.types.is_boolean(typ):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    raise TypeError(
+        f"{op_name}: unsupported column type {typ} for {col_name!r} "
+        "(integer, boolean, temporal and string columns are supported)")
+
+
 def distinct_count(ds, group_col: str, distinct_col: str,
                    num_partitions: int = 32):
     """Exact COUNT(DISTINCT distinct_col) per ``group_col`` — the ``unique``
@@ -535,26 +555,7 @@ def distinct_count(ds, group_col: str, distinct_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([group_col, distinct_col]).group_by(
             [group_col, distinct_col]).aggregate([])
-        col = t[distinct_col]
-        typ = col.type
-        # partition assignment must be identical for equal values on every
-        # worker: integers hash by value, strings by the version-stable
-        # byte polynomial (never a library hash); other types are rejected
-        # up front instead of erroring deep inside map_batches
-        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-            from ..functions.hashing import stable_hash_strings
-
-            v = stable_hash_strings(col)
-        elif pa.types.is_temporal(typ):
-            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
-                np.uint64)
-        elif pa.types.is_integer(typ) or pa.types.is_boolean(typ):
-            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            raise TypeError(
-                f"distinct_count: unsupported distinct column type {typ} "
-                f"for {distinct_col!r} (integer, boolean, temporal and "
-                "string columns are supported)")
+        v = _column_hash64(t[distinct_col], distinct_col, "distinct_count")
         part = (v * np.uint64(2654435761)) % P
         return t.append_column("part", pa.array(part.astype(np.int32)))
 
@@ -575,3 +576,106 @@ def distinct_count(ds, group_col: str, distinct_col: str,
            .rename(columns={"n_part": "n_distinct"})
            .sort_values(group_col).reset_index(drop=True))
     return out
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain, Steele/Lea/Flood 2014): turns a
+    value-identity uint64 (raw integers are NOT uniformly distributed — a
+    sequential id column has constant leading zeros) into a well-mixed hash
+    whose bit positions are uniform, which the HLL rank statistic requires."""
+    z = x.copy()
+    with np.errstate(over="ignore"):
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros of a uint64 array (0 -> 64).
+    Binary search over shift widths — never float log2, whose rounding
+    misreports values just below a power of two."""
+    zero = x == 0
+    x = x.copy()
+    n = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x < (np.uint64(1) << np.uint64(64 - s))
+        n[m] += s
+        x[m] <<= np.uint64(s)
+    n[zero] = 64
+    return n
+
+
+def hll_distinct(ds, group_col: str, distinct_col: str, p: int = 12,
+                 num_partitions: int = 32):
+    """Approximate COUNT(DISTINCT distinct_col) per ``group_col`` via a
+    HyperLogLog sketch (Flajolet–Fuss–Gandouet–Meunier 2007) — the mergeable
+    "novel sketch" path for cardinalities where the exact operator's
+    shuffle (one row per distinct value) is itself the bottleneck.
+
+    Shape: a per-batch combiner collapses each batch to at most
+    ``groups x 2^p`` register rows ``(group, register, rho_max)``, ONE
+    shuffle keyed by ``register % P`` merges them with a vectorized
+    per-partition max, and the driver folds a ``groups x 2^p``-bounded table
+    into estimates.  Communication is O(groups * 2^p) TOTAL regardless of
+    input rows — at 100 TB this is the difference between shipping billions
+    of distinct user ids and shipping 4 KB of registers per group.
+
+    Deterministic: hashes are the engine's version-stable value hashes
+    passed through a fixed splitmix64 finalizer, so the estimate is a pure
+    function of the value SET (standard error ~1.04/sqrt(2^p), ~1.6% at
+    p=12; small cardinalities use the linear-counting correction).
+
+    Returns a pandas DataFrame ``(group_col, n_approx)`` sorted by group.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll_distinct: p={p} out of range [4, 18]")
+    m = 1 << p
+    P = np.uint64(num_partitions)
+    shift = np.uint64(64 - p)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, distinct_col])
+        h = _mix64(_column_hash64(t[distinct_col], distinct_col,
+                                  "hll_distinct"))
+        idx = (h >> shift).astype(np.int32)
+        with np.errstate(over="ignore"):
+            w = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+        rho = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.int32)
+        reg = pa.table({
+            group_col: t[group_col],
+            "register": pa.array(idx),
+            "rho": pa.array(rho),
+        })
+        out = reg.group_by([group_col, "register"]).aggregate([("rho", "max")])
+        out = out.rename_columns([group_col, "register", "rho"])
+        part = out["register"].to_numpy().astype(np.uint64) % P
+        return out.append_column("part", pa.array(part.astype(np.int32)))
+
+    def merge_part(group: pa.Table) -> pa.Table:
+        out = group.select([group_col, "register", "rho"]).group_by(
+            [group_col, "register"]).aggregate([("rho", "max")])
+        return out.rename_columns([group_col, "register", "rho"])
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {
+        16: 0.673, 32: 0.697, 64: 0.709}[m]
+    rows = []
+    for g, sub in regs.groupby(group_col, sort=True):
+        rho = np.zeros(m, np.float64)
+        rho[sub["register"].to_numpy()] = sub["rho"].to_numpy()
+        est = alpha * m * m / np.sum(np.exp2(-rho))
+        nz = np.count_nonzero(rho)
+        if est <= 2.5 * m and nz < m:
+            est = m * np.log(m / (m - nz))  # linear counting, small range
+        rows.append((g, float(est)))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=[group_col, "n_approx"])
