@@ -485,6 +485,27 @@ def _q_doc_token_counts(sf_dir: str):
     return _i64(token_counts(_docs(sf_dir)).to_pandas())
 
 
+def _q_doc_token_freq(sf_dir: str):
+    """Corpus heavy hitters: every token covering >= 0.1% of the token
+    stream, EXACT counts (`stages/frequency.py::frequent_values` — per-batch
+    Arrow combiner, one hash(value)%P shuffle co-locating each value, local
+    threshold filter; the Misra-Gries compressed regime is pytest-pinned).
+    DuckDB twin is the plain GROUP BY ... HAVING over the unnested tokens —
+    tokenizer parity (Arrow whitespace split == regexp '\\S+') is pinned in
+    tests/test_frequency.py."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.frequency import (
+        frequent_values,
+        tokenize_column,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    toks = tokenize_column(docs, "text", "token")
+    return _i64(frequent_values(toks, "token", phi=0.001, num_partitions=16))
+
+
 def _q_doc_quality(sf_dir: str):
     from pagerank_barrierfree_openmp_dynamic_ray.functions.textstats import (
         quality_scores,
@@ -1061,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_flagship": _q_pages_flagship,
         # text analysis (SQL-checked)
         "doc_token_counts": _q_doc_token_counts,
+        "doc_token_freq": _q_doc_token_freq,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1132,6 +1154,12 @@ FROM orient a JOIN orient b ON b.s = a.t JOIN orient c ON c.s = a.s AND c.t = b.
 """,
         "doc_token_counts": f"SELECT doc_id, len({_TOK}) AS n_tokens, "
         f"len({_PIECES}) AS n_pieces FROM documents",
+        "doc_token_freq": f"""
+WITH tok AS (SELECT unnest({_TOK}) AS value FROM documents)
+SELECT value, COUNT(*) AS n FROM tok GROUP BY value
+HAVING COUNT(*) >= CEIL(0.001 * (SELECT COUNT(*) FROM tok))
+ORDER BY n DESC, value
+""",
         "doc_quality": f"""
 SELECT doc_id,
        length(text) AS n_chars_m,
