@@ -870,6 +870,63 @@ def _q_events_sliding(sf_dir: str):
     return _i64(df)
 
 
+def _q_events_sessions(sf_dir: str):
+    """Gap-timeout sessionization (30-minute silence starts a new session):
+    one row per (user, session) with start/end/event-count
+    (`stages/windows.py::sessionize` — one hash(user)%P part groupby,
+    vectorized lexsort + gap cumsum inside the part).  DuckDB twin is the
+    textbook LAG-gap-flag window chain; session assignment is
+    order-independent among equal timestamps so no tie-break is needed."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.windows import sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    df = sessionize(ev, key="user_id", ts="ts", gap_s=1800.0,
+                    num_partitions=16).to_pandas()
+    return _i64(df.sort_values(["user_id", "session_idx"])
+                .reset_index(drop=True))
+
+
+def _q_doc_top_by_lang(sf_dir: str):
+    """Per-key top-k: each language's 3 largest documents by n_chars
+    (`stages/ranking.py::top_k_per_key` — per-batch keep-k combiner, one
+    hash(key)%P shuffle of at most k rows per key per batch).  DuckDB twin
+    is ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.ranking import (
+        top_k_per_key,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars"])
+    out = top_k_per_key(docs, key="lang", order_col="n_chars", k=3,
+                        tie_col="doc_id", num_partitions=16).to_pandas()
+    return _i64(out.sort_values(["lang", "n_chars", "doc_id"],
+                                ascending=[True, False, True])
+                .reset_index(drop=True))
+
+
+def _q_doc_sample(sf_dir: str):
+    """Deterministic hash sampling: ~5% of documents chosen by value hash of
+    doc_id (`stages/sampling.py::hash_sample` — a stateless vectorized
+    filter, membership is a pure function of the key so reruns and retries
+    pick the identical sample).  DuckDB twin reproduces the uint64
+    multiplicative hash with HUGEINT arithmetic — full value-hash check."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.sampling import (
+        hash_sample,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars"])
+    df = hash_sample(docs, "doc_id", rate_ppm=50_000).to_pandas()
+    return _i64(df.sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_events_asof(sf_dir: str):
     """As-of (backward) join — view->click attribution: every click gets
     the same user's latest view at-or-before it (null when none).  Runs the
@@ -1105,6 +1162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rev_by_nation": _q_rev_by_nation,
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "doc_top_by_lang": _q_doc_top_by_lang,
+        "doc_sample": _q_doc_sample,
         "events_asof": _q_events_asof,
         "events_range": _q_events_range,
         "events_distinct_users": _q_events_distinct_users,
@@ -1258,6 +1318,39 @@ SELECT event_type,
        MAX(value) AS max_value
 FROM events GROUP BY event_type, hour
 """,
+        # gap-timeout sessionization: LAG gap flag -> running sum = session
+        # id -> per-session aggregate.  Order-independent among equal ts
+        # (diff 0 never exceeds the gap; RANGE framing gives peers one sid)
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM o
+)
+SELECT user_id, sid::BIGINT AS session_idx, MIN(ts) AS session_start,
+       MAX(ts) AS session_end, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx
+""",
+        "doc_top_by_lang": """
+SELECT doc_id, lang, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) <= 3
+ORDER BY lang, n_chars DESC, doc_id
+""",
+        # hash_sample twin: HUGEINT arithmetic reproduces the engine's
+        # uint64 multiplicative hash bit-for-bit (stages/sampling.py)
+        "doc_sample": "SELECT doc_id, lang, n_chars FROM documents WHERE "
+        "(((doc_id::HUGEINT * 2654435761) % 18446744073709551616 "
+        "+ 18446744073709551616) % 18446744073709551616) % 1000000 < 50000 "
+        "ORDER BY doc_id",
         "events_sliding": """
 WITH c AS (
   SELECT event_type,

@@ -71,3 +71,68 @@ def sliding_hourly_mean(events, window: int = 3):
         )
 
     return counts.groupby("event_type").map_groups(roll, batch_format="pyarrow")
+
+
+def sessionize(events, key: str = "user_id", ts: str = "ts",
+               gap_s: float = 1800.0, num_partitions: int = 32):
+    """Gap-timeout sessionization: a key's events ordered by time belong to
+    one session until a silence longer than ``gap_s`` seconds starts the
+    next.  Returns one row per session: ``(key, session_idx, session_start,
+    session_end, n_events)`` with ``session_idx`` counting a key's sessions
+    from 0 in time order.
+
+    Shape: per-batch part tag ``hash(key) % P`` -> ONE part groupby (never a
+    per-key groupby) -> vectorized lexsort + diff-over-gap cumsum + segment
+    reduce inside each part.  Session assignment is order-independent among
+    equal timestamps (zero gap joins them), so the output is deterministic
+    without a tie-break column.  Partitioning assumption: one part's event
+    rows fit a worker; sessions are sequential chains per key, so a hot key
+    cannot be sub-split without boundary carry (the asof-join time-split
+    machinery would apply if one arises).
+    """
+    gap_us = np.int64(round(gap_s * 1e6))
+    P = np.uint64(num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, ts])
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (k * np.uint64(2654435761)) % P
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def sessions(group: pa.Table) -> pa.Table:
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = group[ts].cast(pa.int64()).to_numpy()  # microseconds
+        if not len(k):
+            return pa.table({
+                key: pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((t, k))
+        k, t = k[order], t[order]
+        new_key = np.empty(len(k), bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > gap_us
+        starts = np.flatnonzero(new_sess)
+        bounds = np.append(starts, len(k))
+        n_ev = np.diff(bounds)
+        # per-key session ordinal: session index minus the index of the
+        # key's FIRST session (a running max over key-start positions)
+        first_sess_of_key = np.maximum.accumulate(
+            np.where(new_key[starts], np.arange(len(starts)), 0))
+        sess_idx = np.arange(len(starts)) - first_sess_of_key
+        out = pa.table({
+            key: pa.array(k[starts]),
+            "session_idx": pa.array(sess_idx.astype(np.int64)),
+            "session_start": pa.array(t[starts]).cast(pa.timestamp("us")),
+            "session_end": pa.array(t[bounds[1:] - 1]).cast(pa.timestamp("us")),
+            "n_events": pa.array(n_ev.astype(np.int64)),
+        })
+        return out
+
+    return (events.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(sessions, batch_format="pyarrow"))
