@@ -1054,6 +1054,167 @@ def _q_li_pruned_agg(sf_dir: str):
     return _i64(out.to_pandas())
 
 
+def _q_oli_hash_join(sf_dir: str):
+    """Big-x-big shuffle equi-join (`stages/relational.py::hash_join`):
+    lineitem ⋈ orders with NEITHER side broadcast — orders is hash-split
+    into object-store partitions, lineitem co-locates via one key%P part
+    groupby, the resolve expands multiplicity by vectorized searchsorted
+    bounds.  Revenue in integer cents so Ray and DuckDB agree bit-for-bit."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.relational import (
+        hash_join,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                  take=["o_orderpriority"], suffix="", num_partitions=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                      "cents": pa.array(cents)})
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "cents", "n"])
+
+    df = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = df.groupby("o_orderpriority", as_index=False).agg(
+        revenue_cents=("cents", "sum"), n_items=("n", "sum"))
+    return _i64(out.sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def _q_orders_semi(sf_dir: str):
+    """Bloom-prefiltered semi-join (`stages/relational.py::semi_join`):
+    orders having at least one near-full-quantity lineitem.  The Bloom
+    filter over the selective right side drops definite non-members inside
+    the left scan BEFORE the shuffle; survivors get the exact searchsorted
+    verdict, so the result is exact (DuckDB twin: WHERE EXISTS)."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.relational import (
+        semi_join,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    big = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).filter(expr="l_quantity > 49").select_columns(["l_orderkey"])
+    sj = semi_join(orders, big, "o_orderkey", "l_orderkey",
+                   num_partitions=16, bloom_bits=1 << 20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                      "cents": pa.array(cents)})
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "cents", "n"])
+
+    df = sj.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = df.groupby("o_orderpriority", as_index=False).agg(
+        total_cents=("cents", "sum"), n_orders=("n", "sum"))
+    return _i64(out.sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def _q_orders_anti(sf_dir: str):
+    """Anti-join (`stages/relational.py::anti_join`): orders with NO
+    discounted lineitem (DuckDB twin: WHERE NOT EXISTS).  Same shuffle
+    plan as the semi-join minus the Bloom cut — an anti-join's output IS
+    the non-members, which must flow regardless."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.relational import (
+        anti_join,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+    )
+    disc = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_discount"],
+    ).filter(expr="l_discount >= 0.05").select_columns(["l_orderkey"])
+    aj = anti_join(orders, disc, "o_orderkey", "l_orderkey",
+                   num_partitions=16)
+    df = aj.select_columns(["o_orderstatus"]).to_pandas()
+    out = df.groupby("o_orderstatus", as_index=False).size().rename(
+        columns={"size": "n_orders"})
+    return _i64(out.sort_values("o_orderstatus").reset_index(drop=True))
+
+
+def _q_events_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (`stages/quantiles.py`): one
+    hash(group)%P part shuffle, one vectorized sort per partition serving
+    every group and quantile; the selected element is
+    ``sorted[ceil(q*n)-1]`` — bit-identical to DuckDB quantile_disc."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.quantiles import (
+        grouped_quantiles,
+    )
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = grouped_quantiles(ev, "event_type", "value",
+                            {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+                            num_partitions=8)
+    return _i64(out.to_pandas().sort_values("event_type")
+                .reset_index(drop=True))
+
+
+def _q_doc_tfidf_top3(sf_dir: str):
+    """Per-document top-3 tf-idf terms (`functions/tfidf.py`): Arrow-
+    vectorized tokenize/explode, df via one hash(term)%P part groupby,
+    df->tf attach via the term-hash lookup join, per-doc ranking via one
+    hash(doc)%P part groupby.  Score is the integer tf * ((1000*N) // df)
+    (milli-quantized idf) so ranking is float-free on both sides."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.tfidf import (
+        tfidf_top_terms,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=3, num_partitions=16)
+    return _i64(out.to_pandas().sort_values(["doc_id", "rank"])
+                .reset_index(drop=True))
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Training-prep chunking (`functions/chunk.py`): overlapping 400-char
+    windows at stride 300, codepoint-exact vs SQL substring; shuffle-free
+    flat expansion.  Returns per-chunk rows (doc_id, chunk_id, chunk_text)."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.chunk import (
+        chunk_documents,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = chunk_documents(docs, width=400, stride=300)
+    return _i64(out.to_pandas().sort_values(["doc_id", "chunk_id"])
+                .reset_index(drop=True))
+
+
 # flagship corpus constants: 1000 seeded pages yield exactly 988 distinct
 # linked urls (vertices) — asserted in the query so corpus drift fails loudly
 # on the engine side before the twin can mismatch
@@ -1098,6 +1259,29 @@ def _q_pages_flagship(sf_dir: str):
     url_of = verts.set_index("vid")["url"]
     top.insert(0, "url", top["vid"].map(url_of).astype(str))
     return top
+
+
+def _q_pages_host_graph(sf_dir: str):
+    """Host-level contraction of the flagship page graph
+    (`functions/extract.py::host_link_counts`): top-20 (src_host, dst_host)
+    pairs by anchor count — the crawl-politeness / domain-ranking aggregate.
+    Twin: sqltwins.pages_host_graph_sql over the same deterministic corpus."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.extract import (
+        extract_links,
+        host_link_counts,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.sources.pages import (
+        ensure_pages_parquet,
+    )
+
+    pages_dir = ensure_pages_parquet(_PAGES_DIR, _PAGES_N)
+    links = extract_links(rd.read_parquet(pages_dir, columns=["url", "html"]))
+    df = host_link_counts(links, num_partitions=8).to_pandas()
+    df = df.sort_values(["n_links", "src_host", "dst_host"],
+                        ascending=[False, True, True]).head(20)
+    return _i64(df.reset_index(drop=True))
 
 
 def _ensure_flagship_corpus() -> str:
@@ -1170,6 +1354,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_hll_users": _q_events_hll_users,
         "li_pruned_agg": _q_li_pruned_agg,
+        # relational shuffle joins + distribution/text-prep operators
+        "oli_hash_join": _q_oli_hash_join,
+        "orders_semi": _q_orders_semi,
+        "orders_anti": _q_orders_anti,
+        "events_quantiles": _q_events_quantiles,
+        "doc_tfidf_top3": _q_doc_tfidf_top3,
+        "doc_chunks": _q_doc_chunks,
+        "pages_host_graph": _q_pages_host_graph,
     }
 
 
@@ -1397,6 +1589,72 @@ ORDER BY c.event_id
         " GROUP BY event_type ORDER BY event_type",
         "li_pruned_agg": "SELECT l_returnflag, COUNT(*) AS n_rows, "
         "SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag",
+        "oli_hash_join": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+        "orders_semi": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+GROUP BY o_orderpriority
+""",
+        "orders_anti": """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount >= 0.05)
+GROUP BY o_orderstatus
+""",
+        "events_quantiles": """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+""",
+        "doc_tfidf_top3": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents) u
+  WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ((1000 * n.n) // df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+""",
+        "doc_chunks": """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) // 300)) AS chunk_id
+  FROM documents)
+SELECT doc_id, chunk_id,
+       substring(text, CAST(chunk_id * 300 + 1 AS BIGINT), 400) AS chunk_text
+FROM idx
+WHERE chunk_id * 300 < length(text)
+""",
         # ---- iterative twins (unrolled sweep chains; functions/sqltwins) ----
         # PageRank stops at the first sweep with L-inf < 1e-10 — the twin
         # reproduces the stopping RULE, so the unroll count only needs to
@@ -1445,4 +1703,6 @@ ORDER BY c.event_id
         "pages_flagship": sqltwins.pages_pagerank_sql(
             os.path.join(
                 _ensure_flagship_corpus(), "*.parquet"), _PAGES_V, 70),
+        "pages_host_graph": sqltwins.pages_host_graph_sql(
+            os.path.join(_ensure_flagship_corpus(), "*.parquet")),
     }

@@ -171,6 +171,24 @@ SELECT v.url, t.vid, t.rank
 FROM ({inner}) t LEFT JOIN overts v ON v.vid = t.vid"""
 
 
+def pages_host_graph_sql(pages_glob: str) -> str:
+    """Twin of ``functions/extract.host_link_counts`` over the flagship
+    corpus: anchor extraction -> host contraction -> top-20 host pairs.
+    The ORDER BY makes the LIMIT cut deterministic (count desc, hosts asc)."""
+    return f"""WITH pages AS (SELECT url, decode(html) AS h
+           FROM read_parquet('{pages_glob}')),
+links AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(h, '<a href="([^"]+)">', 1))
+                   AS dst_url
+          FROM pages),
+hl AS (SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS src_host,
+              regexp_extract(dst_url, '^https://([^/]+)/', 1) AS dst_host
+       FROM links)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM hl GROUP BY src_host, dst_host
+ORDER BY n_links DESC, src_host, dst_host LIMIT 20"""
+
+
 def _sym_graph(edge_sql: str, V: int) -> str:
     """Symmetrized derived graph: distinct non-self edges both ways plus a
     self-loop on every vertex (pipelines/components.symmetric_layout_from)."""

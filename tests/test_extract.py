@@ -51,3 +51,36 @@ def test_extraction_on_dataset(ray_session, pages_1k):
     # exact parity with the per-table extraction
     local = extract_links_batch(pages_table(0, 1000, 1000)).num_rows
     assert n == local
+
+
+def test_host_link_counts_vs_duckdb(ray_session, pages_1k):
+    """Host contraction matches a DuckDB regexp twin on the same corpus."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.extract import (
+        host_link_counts,
+    )
+
+    pages = rd.read_parquet(pages_1k, columns=["url", "html"])
+    got = (host_link_counts(extract_links(pages), num_partitions=4)
+           .to_pandas().sort_values(["src_host", "dst_host"])
+           .reset_index(drop=True))
+    exp = duckdb.sql(f"""
+        WITH pages AS (SELECT url, decode(html) AS h
+                       FROM read_parquet('{pages_1k}/*.parquet')),
+        links AS (SELECT url AS src_url,
+                         unnest(regexp_extract_all(h, '<a href="([^"]+)">', 1))
+                             AS dst_url
+                  FROM pages),
+        hl AS (SELECT regexp_extract(src_url, '^https://([^/]+)/', 1)
+                          AS src_host,
+                      regexp_extract(dst_url, '^https://([^/]+)/', 1)
+                          AS dst_host
+               FROM links)
+        SELECT src_host, dst_host, COUNT(*) AS n_links
+        FROM hl GROUP BY src_host, dst_host
+        ORDER BY src_host, dst_host""").df()
+    got["n_links"] = got["n_links"].astype(exp["n_links"].dtype)
+    pd.testing.assert_frame_equal(got, exp)

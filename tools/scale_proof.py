@@ -20,11 +20,14 @@ import glob
 import json
 import os
 import shutil
+import sys
 import threading
 import time
 
 import numpy as np
 import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _peak_rss_sampler(stop: threading.Event, out: dict) -> None:
