@@ -20,6 +20,10 @@ import numpy as np
 import pyarrow as pa
 
 from pagerank_barrierfree_openmp_dynamic_ray.functions import sqltwins
+from pagerank_barrierfree_openmp_dynamic_ray.functions.redact import (
+    EMAIL_RE as _EMAIL_RE,
+    IPV4_RE as _IPV4_RE,
+)
 from pagerank_barrierfree_openmp_dynamic_ray.pipelines.derived import (
     V,
     derived_edge_sql,
@@ -524,6 +528,64 @@ def _q_doc_fingerprint(sf_dir: str):
     from pagerank_barrierfree_openmp_dynamic_ray.functions.textstats import fingerprints
 
     return _i64(fingerprints(_docs(sf_dir)).to_pandas()[["doc_id", "md5"]])
+
+
+def _pii_inject_batch(batch: pa.Table) -> pa.Table:
+    """Harness-only corpus prep for the redact oracle: the synthetic docs
+    contain no emails/IPs, so append a deterministic PII suffix derived from
+    doc_id (same expression in the DuckDB twin) — otherwise the oracle would
+    vacuously compare all-zero counts and never exercise the RE2 kernels."""
+    import pyarrow.compute as pc
+
+    did = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sfx = pa.array(
+        [
+            " u%d@ex%d.org ip 10.0.%d.%d" % (d, d % 7, d % 256, d % 100)
+            for d in did
+        ]
+    )
+    text = pc.binary_join_element_wise(
+        pc.cast(batch["text"], pa.string()), sfx, ""
+    )
+    return batch.set_column(batch.schema.get_field_index("text"), "text", text)
+
+
+def _q_doc_redact(sf_dir: str):
+    """PII scrub report: per-doc email / IPv4 match counts and the md5 of
+    the redacted text.  Both the replace and the count are single RE2
+    kernels (`pyarrow.compute`) shared verbatim with the DuckDB twin."""
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.redact import (
+        redactions,
+    )
+
+    docs = _docs(sf_dir).map_batches(_pii_inject_batch, batch_format="pyarrow")
+    return _i64(redactions(docs).to_pandas())
+
+
+def _lines_from_tokens_batch(batch: pa.Table) -> pa.Table:
+    """Harness-only corpus prep for the repetition oracle: the synthetic
+    docs are single-line, so turn the token stream into one-token-per-line
+    text (``replace(text, ' ', chr(10))`` in the twin) — repeated tokens
+    then exercise the duplicate-line counting for real."""
+    import pyarrow.compute as pc
+
+    text = pc.replace_substring(
+        pc.cast(batch["text"], pa.string()), pattern=" ", replacement="\n"
+    )
+    return batch.set_column(batch.schema.get_field_index("text"), "text", text)
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Duplicate-line repetition stats (RefinedWeb boilerplate signal):
+    non-empty line count, duplicate-line count and fraction per doc."""
+    from pagerank_barrierfree_openmp_dynamic_ray.functions.textstats import (
+        repetitions,
+    )
+
+    docs = _docs(sf_dir).map_batches(
+        _lines_from_tokens_batch, batch_format="pyarrow"
+    )
+    return _i64(repetitions(docs).to_pandas())
 
 
 def _q_doc_exact_dedup(sf_dir: str):
@@ -1327,6 +1389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_redact": _q_doc_redact,
+        "doc_repetition": _q_doc_repetition,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_dedup_kept": _q_doc_dedup_kept,
         # near-dup family (simhash/minhash SQL-checked; ngram SQL-checked)
@@ -1454,6 +1518,38 @@ SELECT doc_id,
 FROM s
 """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "doc_redact": f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' u' || doc_id || '@ex' || (doc_id % 7)
+              || '.org ip 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+           AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IPV4_RE}'))::BIGINT AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM pii
+""",
+        "doc_repetition": """
+WITH lined AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text
+               FROM documents),
+     ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM lined),
+     s AS (SELECT doc_id, COUNT(*) AS n_lines,
+                  COUNT(DISTINCT line) AS n_distinct
+           FROM ln WHERE length(line) > 0 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(s.n_lines, 0)::BIGINT AS n_lines,
+       COALESCE(s.n_lines - s.n_distinct, 0)::BIGINT AS n_dup_lines,
+       COALESCE(s.n_lines - s.n_distinct, 0)::DOUBLE
+         / GREATEST(COALESCE(s.n_lines, 0), 1) AS dup_line_frac
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+""",
         "doc_exact_dedup": "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, "
         "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
         "doc_dedup_kept": "SELECT MIN(doc_id) AS doc_id FROM documents "

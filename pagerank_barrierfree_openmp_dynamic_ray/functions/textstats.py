@@ -135,6 +135,52 @@ def rolling_hash(tokens: list[str]) -> np.uint64:
     return h
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Duplicate-line repetition stats (the RefinedWeb / MassiveText
+    boilerplate signal: docs whose lines repeat are nav chrome, not prose):
+    per doc, the count of non-empty lines, how many are duplicates of an
+    earlier line, and the duplicate fraction.
+
+    Vectorized end to end: one Arrow ``split_pattern`` gives every line of
+    the batch as a flat string array; a stable 64-bit line hash + one
+    lexsort counts per-doc distinct lines with no Python loop.  Distinctness
+    is decided on the 64-bit hash — a cross-line collision inside one doc
+    (~1e-13 at 10k lines) would undercount distinct by one; acceptable for
+    a quality *signal*, and the oracle corpus is collision-checked by the
+    test suite.  SQL twin: ``string_split(text, chr(10))`` + ``COUNT`` /
+    ``COUNT(DISTINCT)`` per doc."""
+    import pyarrow.compute as pc
+
+    from .hashing import stable_hash_strings
+
+    arr = batch["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    lines = pc.split_pattern(arr, pattern="\n")
+    counts = lines.value_lengths().to_numpy(zero_copy_only=False)
+    flat = lines.flatten()
+    doc_ix = np.repeat(np.arange(n, dtype=np.int64), counts)
+    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    ix = doc_ix[nonempty]
+    h = stable_hash_strings(flat)[nonempty]
+    n_lines = np.bincount(ix, minlength=n)
+    order = np.lexsort((h, ix))
+    si, sh = ix[order], h[order]
+    first = np.ones(len(si), dtype=bool)
+    first[1:] = (si[1:] != si[:-1]) | (sh[1:] != sh[:-1])
+    n_distinct = np.bincount(si[first], minlength=n)
+    dup = n_lines - n_distinct
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines.astype(np.int64)),
+            "n_dup_lines": pa.array(dup.astype(np.int64)),
+            "dup_line_frac": pa.array(dup / np.maximum(n_lines, 1)),
+        }
+    )
+
+
 def token_counts(docs):
     return docs.map_batches(token_count_batch, batch_format="pyarrow")
 
@@ -149,3 +195,7 @@ def lang_ids(docs):
 
 def fingerprints(docs):
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def repetitions(docs):
+    return docs.map_batches(repetition_batch, batch_format="pyarrow")
