@@ -588,6 +588,40 @@ def _q_doc_repetition(sf_dir: str):
     return _i64(repetitions(docs).to_pandas())
 
 
+def _q_doc_decontam(sf_dir: str):
+    """Benchmark decontamination: every doc with >=3 tokens is scored
+    against the broadcast distinct-shingle set of the 'benchmark' docs
+    (deterministically ``doc_id % 31 == 0`` — the sandbox stand-in for a
+    held-out eval suite).  Counts are distinct word-3-gram overlaps; the
+    engine computes them on 64-bit shingle hashes, the twin on the strings
+    (equal absent collisions, same trade as doc_repetition)."""
+    import pyarrow.compute as pc
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.decontam import (
+        benchmark_shingles,
+        contamination,
+    )
+
+    def tok_ok(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(
+                pc.count_substring_regex(batch["text"], pattern="\\S+"), 3
+            )
+        )
+
+    def side(batch: pa.Table, bench: bool) -> pa.Table:
+        m = batch["doc_id"].to_numpy(zero_copy_only=False) % 31 == 0
+        return batch.filter(pa.array(m if bench else ~m))
+
+    docs = _docs(sf_dir).map_batches(tok_ok, batch_format="pyarrow")
+    ref = benchmark_shingles(
+        docs.map_batches(side, fn_kwargs={"bench": True},
+                         batch_format="pyarrow"))
+    train = docs.map_batches(side, fn_kwargs={"bench": False},
+                             batch_format="pyarrow")
+    return _i64(contamination(train, ref).to_pandas())
+
+
 def _q_doc_exact_dedup(sf_dir: str):
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import exact_dedup
 
@@ -1391,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_redact": _q_doc_redact,
         "doc_repetition": _q_doc_repetition,
+        "doc_decontam": _q_doc_decontam,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_dedup_kept": _q_doc_dedup_kept,
         # near-dup family (simhash/minhash SQL-checked; ngram SQL-checked)
@@ -1549,6 +1584,26 @@ SELECT d.doc_id,
        COALESCE(s.n_lines - s.n_distinct, 0)::DOUBLE
          / GREATEST(COALESCE(s.n_lines, 0), 1) AS dup_line_frac
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+""",
+        "doc_decontam": r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tok
+           FROM documents),
+     el AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tok) - 1),
+                      i -> tok[i] || chr(1) || tok[i+1] || chr(1) || tok[i+2]))
+                     AS s
+            FROM t WHERE len(tok) >= 3),
+     bench AS (SELECT DISTINCT unnest(s) AS g FROM el WHERE doc_id % 31 = 0),
+     tr AS (SELECT doc_id, unnest(s) AS g FROM el WHERE doc_id % 31 <> 0),
+     hit AS (SELECT doc_id, COUNT(*) AS n_hit
+             FROM tr JOIN bench USING (g) GROUP BY doc_id)
+SELECT e.doc_id,
+       len(e.s)::BIGINT AS n_shingles,
+       COALESCE(h.n_hit, 0)::BIGINT AS n_contaminated,
+       COALESCE(h.n_hit, 0)::DOUBLE / GREATEST(len(e.s), 1)
+         AS contamination_frac
+FROM el e LEFT JOIN hit h USING (doc_id)
+WHERE e.doc_id % 31 <> 0
 """,
         "doc_exact_dedup": "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, "
         "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
