@@ -45,12 +45,16 @@ def benchmark_shingles(bench_docs, k: int = 3,
         return pa.table({"h": pa.array(u)})
 
     parts = bench_docs.map_batches(
-        block_hashes, batch_format="pyarrow").to_pandas()
-    merged = np.unique(parts["h"].to_numpy().astype(np.uint64))
-    if len(merged) > max_shingles:
+        block_hashes, batch_format="pyarrow").materialize()
+    # gate on the distributed row count (an upper bound on the merged
+    # distinct count) BEFORE anything crosses to the driver — the refusal
+    # must fire in front of the collection, not after the OOM
+    n_rows = parts.count()
+    if n_rows > max_shingles:
         raise ValueError(
-            f"benchmark set has {len(merged)} distinct shingles "
+            f"benchmark set has >= {n_rows} per-block distinct shingles "
             f"(> {max_shingles}); too large for the broadcast plan")
+    merged = np.unique(parts.to_pandas()["h"].to_numpy().astype(np.uint64))
     return ray.put(merged)
 
 
