@@ -29,7 +29,8 @@ def build_symmetric_layout(edges, out_dir: str, num_partitions: int,
     :func:`symmetric_layout_from` when a built layout already exists — it
     symmetrizes per partition with ZERO shuffles."""
     sym = edges.union(transpose(edges))
-    return build_graph(sym, out_dir, num_partitions, n_vertices=n_vertices)
+    return build_graph(sym, out_dir, num_partitions, n_vertices=n_vertices,
+                       symmetric=True)
 
 
 def _reshard_hot_part(hot_part_dir: str, tmp_dir: str, q: int, P: int) -> None:

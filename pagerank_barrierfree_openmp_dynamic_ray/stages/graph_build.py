@@ -407,6 +407,56 @@ def _write_partitioned(ds, path: str, key: str, num_partitions: int) -> None:
     )
 
 
+@ray.remote
+def _degree_part_task(edges_out_dir: str, degrees_dir: str, p: int,
+                      weighted: bool) -> int:
+    """Out-degrees of partition p computed ENTIRELY from edges_out/part=p
+    (edges_out is keyed by src % P, degrees by vid % P — the same modulus,
+    so the aggregate is partition-local: zero shuffle, unlike the generic
+    :func:`out_degrees` whose partials pay an all-to-all over |E| rows).
+    Writes degrees/part=p and returns the partition's edge count, so the
+    caller gets n_edges for free (no separate ``count()`` pass)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(edges_out_dir, f"part={p}")
+    if not os.path.isdir(d):
+        return 0
+    cols = ["src", "w"] if weighted else ["src"]
+    t = pq.read_table(d, columns=cols)
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    if weighted:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vids, inv = np.unique(src, return_inverse=True)
+        deg = np.bincount(inv, weights=w, minlength=len(vids))
+    else:
+        vids, counts = np.unique(src, return_counts=True)
+        deg = counts.astype(np.int64)
+    out = os.path.join(degrees_dir, f"part={p}")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(
+        pa.table({"vid": pa.array(vids), "deg": pa.array(deg)}),
+        os.path.join(out, "data.parquet"),
+    )
+    return len(src)
+
+
+@ray.remote
+def _hot_from_degrees_task(degrees_dir: str, p: int,
+                           threshold: int) -> np.ndarray:
+    """Partition p's vids with degree >= threshold (symmetric graphs only:
+    in-degree == out-degree, so the already-written out-degree table IS the
+    hot-detection input and the transpose+aggregate pass of
+    :func:`find_hot_vertices` is skipped entirely)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(degrees_dir, f"part={p}")
+    if not os.path.isdir(d):
+        return np.empty(0, dtype=np.int64)
+    t = pq.read_table(d, columns=["vid", "deg"])
+    t = t.filter(pc.greater_equal(t["deg"], threshold))
+    return t["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def find_hot_vertices(edges, threshold: int) -> np.ndarray:
     """Sorted vids whose IN-degree >= threshold (the skew set).  The
     in-degree table is a distributed aggregate; only the (tiny) hot list is
@@ -430,6 +480,7 @@ def build_graph(
     add_loops: bool = True,
     overwrite: bool = True,
     hot_in_threshold: int | None = None,
+    symmetric: bool = False,
 ) -> GraphLayout:
     """Edge Dataset (src, dst uint64) -> persistent partitioned graph layout.
 
@@ -448,6 +499,13 @@ def build_graph(
     inside one shared heap, `src/pagerank.hxx:247`); at cluster scale the
     split is what keeps the contribution shuffle balanced (SURVEY §4 skew
     row).
+
+    ``symmetric``: caller's promise that the (deduped) edge set equals its
+    transpose — then in-degree == out-degree, so hot detection reads the
+    already-written degree table instead of paying a transpose+aggregate
+    shuffle over |E| rows (measured: that pass alone spilled tens of GB at
+    1e9 edges).  Correctness is unaffected either way; a false promise only
+    mis-selects the hot set.
     """
     if os.path.isdir(out_dir):
         if not overwrite:
@@ -501,11 +559,27 @@ def build_graph(
     cols = ["src", "dst"] + (["w"] if weighted else [])
     final = rd.read_parquet(os.path.join(out_dir, "edges_out"), columns=cols)
 
-    hot = (
-        find_hot_vertices(final, hot_in_threshold)
-        if hot_in_threshold is not None
-        else np.empty(0, dtype=np.int64)
-    )
+    # Degrees + edge count in ONE zero-shuffle pass: edges_out is already
+    # keyed by src % P, which is exactly the degrees partitioning, so each
+    # partition aggregates locally (P raw tasks — Ray Data can't express a
+    # partition-aligned aggregate without re-shuffling what is already
+    # placed).  Replaces the old out_degrees shuffle + final.count() pass.
+    eo_dir = os.path.join(out_dir, "edges_out")
+    dg_dir = os.path.join(out_dir, "degrees")
+    n_edges = sum(ray.get([
+        _degree_part_task.remote(eo_dir, dg_dir, p, weighted)
+        for p in range(num_partitions)
+    ]))
+
+    if hot_in_threshold is None:
+        hot = np.empty(0, dtype=np.int64)
+    elif symmetric:
+        hot = np.sort(np.concatenate(ray.get([
+            _hot_from_degrees_task.remote(dg_dir, p, hot_in_threshold)
+            for p in range(num_partitions)
+        ])))
+    else:
+        hot = find_hot_vertices(final, hot_in_threshold)
     if len(hot):
         hot_ref = ray.put(hot)
 
@@ -527,10 +601,6 @@ def build_graph(
     else:
         _write_partitioned(final, os.path.join(out_dir, "edges_in"), "dst",
                            num_partitions)
-
-    degs = out_weighted_degrees(final) if weighted else out_degrees(final)
-    _write_partitioned(degs, os.path.join(out_dir, "degrees"), "vid", num_partitions)
-    n_edges = final.count()
 
     layout = GraphLayout(
         out_dir, int(n_vertices), int(n_edges), num_partitions, int(len(hot)),

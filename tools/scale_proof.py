@@ -115,7 +115,12 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+        # /dev/shm is RAM-sized here; a big store keeps the dedup shuffle's
+        # map outputs in memory instead of spilling to the (small) disk —
+        # the first attempt at this scale died on OutOfDiskError with the
+        # default 30%-of-RAM store.
+        ray.init(address="local", include_dashboard=False,
+                 object_store_memory=55 * 2**30)
 
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
         LabelEngine,
@@ -145,7 +150,8 @@ def main() -> None:
         t0 = time.perf_counter()
         lay = build_graph(edges, args.out, args.partitions,
                           n_vertices=args.vertices,
-                          hot_in_threshold=args.hot_threshold)
+                          hot_in_threshold=args.hot_threshold,
+                          symmetric=True)  # mirrored by construction
         dt = time.perf_counter() - t0
         result["build"] = {
             "wall_s": round(dt, 1), "n_edges": lay.n_edges,
@@ -154,6 +160,7 @@ def main() -> None:
             "layout_gb": round(sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(args.out) for f in fs) / 2**30, 2),
+            "disk_free_gb": round(shutil.disk_usage("/tmp").free / 2**30, 1),
         }
         print(json.dumps({"stage": "build", **result["build"]}), flush=True)
 
@@ -169,6 +176,7 @@ def main() -> None:
             "iterations": res.iterations,
             "sweep_edges_per_s": int(lay.n_edges * res.iterations / dt),
             "rank_sum": float(res.ranks.sum()),
+            "disk_free_gb": round(shutil.disk_usage("/tmp").free / 2**30, 1),
         }
         print(json.dumps({"stage": "pr_static", **result["pr_static"]}),
               flush=True)
