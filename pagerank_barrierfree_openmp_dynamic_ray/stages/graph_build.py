@@ -7,8 +7,9 @@ Reference lifecycle being re-expressed (``main.cxx:232-245``):
   -> transposeWithDegreeOmp (``src/transpose.hxx:70-89``).
 
 Ray-Data shape: edge Dataset -> dedup (groupby shuffle with per-batch Arrow
-distinct combiner) -> self-loop union -> degree aggregate (per-batch bincount
-partials, then a small groupby) -> one shuffle per persistent layout:
+distinct combiner) -> self-loop union -> streamed edges_out write -> degrees
++ n_edges as a partition-LOCAL pass over edges_out (src % P is already the
+degrees partitioning: zero shuffle) -> edges_in writes:
   edges_in/part=p   : edges hash-partitioned by dst % P  (rank pull side)
   edges_out/part=p  : edges hash-partitioned by src % P  (frontier expansion)
   degrees/part=p    : (vid, deg) by vid % P              (owner-local outdeg)
