@@ -70,6 +70,42 @@ def _spilled_gb() -> float:
     return round(total / 1024, 2)
 
 
+def _ray_init():
+    """Fresh local Ray session sized for the proof.
+
+    - 55 GiB object store in /dev/shm (RAM-backed): keeps the dedup
+      shuffle's map outputs in memory instead of spilling to disk.
+    - ``local_fs_capacity_threshold=0.98``: this sandbox's root fs keeps
+      160 GB of its 252 GB ROOT-RESERVED (statvfs f_bfree=239G but
+      f_bavail=79G), and Ray computes utilization as
+      (total - available)/total — i.e. it reads ~69% "used" on an
+      empty disk and kills the job (OutOfDiskError) after only ~66 GB
+      of real writes.  As root we can use the reserved blocks, so 0.98
+      restores ~74 GB of genuine headroom while still guarding against
+      actually filling the device.
+    """
+    import ray
+
+    ray.init(address="local", include_dashboard=False,
+             object_store_memory=55 * 2**30,
+             _system_config={"local_fs_capacity_threshold": 0.98})
+
+
+def _ray_recycle(result: dict, stage: str) -> None:
+    """Tear the session down between stages so the previous stage's spill
+    files are deleted before the next stage starts writing — peak DISK is
+    what killed the first attempt at this scale, and spill is per-session
+    state.  Records the finished session's spill GB, removes its leftover
+    session dir, and starts a fresh session."""
+    import ray
+
+    result.setdefault("spilled_gb_by_stage", {})[stage] = _spilled_gb()
+    ray.shutdown()
+    for d in glob.glob("/tmp/ray/session_2*"):
+        shutil.rmtree(d, ignore_errors=True)
+    _ray_init()
+
+
 def synth_edges(n_pairs: int, n_vertices: int, seed: int, num_blocks: int):
     """Deterministic mirrored edge Dataset: 2*n_pairs rows of (src, dst)."""
     import ray.data as rd
@@ -110,17 +146,14 @@ def main() -> None:
     ap.add_argument("--hot-threshold", type=int, default=65_536)
     ap.add_argument("--keep", action="store_true",
                     help="keep the layout dir (default: delete at exit)")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse a complete layout at --out if present")
     args = ap.parse_args()
 
     import ray
 
     if not ray.is_initialized():
-        # /dev/shm is RAM-sized here; a big store keeps the dedup shuffle's
-        # map outputs in memory instead of spilling to the (small) disk —
-        # the first attempt at this scale died on OutOfDiskError with the
-        # default 30%-of-RAM store.
-        ray.init(address="local", include_dashboard=False,
-                 object_store_memory=55 * 2**30)
+        _ray_init()
 
     from pagerank_barrierfree_openmp_dynamic_ray.pipelines.components import (
         LabelEngine,
@@ -140,7 +173,7 @@ def main() -> None:
     result: dict = {"pairs": args.pairs, "n_vertices": args.vertices,
                     "partitions": args.partitions}
 
-    if os.path.isdir(args.out):
+    if os.path.isdir(args.out) and not args.resume:
         shutil.rmtree(args.out)
 
     try:
@@ -151,7 +184,8 @@ def main() -> None:
         lay = build_graph(edges, args.out, args.partitions,
                           n_vertices=args.vertices,
                           hot_in_threshold=args.hot_threshold,
-                          symmetric=True)  # mirrored by construction
+                          symmetric=True,  # mirrored by construction
+                          overwrite=not args.resume)
         dt = time.perf_counter() - t0
         result["build"] = {
             "wall_s": round(dt, 1), "n_edges": lay.n_edges,
@@ -163,6 +197,7 @@ def main() -> None:
             "disk_free_gb": round(shutil.disk_usage("/tmp").free / 2**30, 1),
         }
         print(json.dumps({"stage": "build", **result["build"]}), flush=True)
+        _ray_recycle(result, "build")
 
         # ---- static PageRank ----
         t0 = time.perf_counter()
@@ -200,7 +235,9 @@ def main() -> None:
         stop.set()
         t.join(timeout=5)
         result["peak_rss"] = rss
-        result["spilled_gb"] = _spilled_gb()
+        result.setdefault("spilled_gb_by_stage", {})["pr_cc"] = _spilled_gb()
+        result["spilled_gb"] = round(
+            sum(result["spilled_gb_by_stage"].values()), 2)
         if not args.keep:
             shutil.rmtree(args.out, ignore_errors=True)
         print(json.dumps(result), flush=True)
