@@ -161,8 +161,10 @@ class LabelResult:
 class LabelEngine:
     """Iterative label algorithms over the partition actor pool."""
 
-    def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0):
+    def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0,
+                 init_wave: int | None = None):
         from ..state.partition_actor import CsrPartitionActor
+        from .pagerank import _ready_in_waves
 
         self.layout = layout
         self.P = layout.num_partitions
@@ -173,7 +175,7 @@ class LabelEngine:
             )
             for pid in range(self.P)
         ]
-        ray.get([a.ready.remote() for a in self.actors])
+        _ready_in_waves(self.actors, init_wave)
 
     def shutdown(self) -> None:
         for a in self.actors:

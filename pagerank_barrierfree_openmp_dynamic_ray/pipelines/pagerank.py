@@ -65,14 +65,33 @@ class Frontier:
     affected: np.ndarray | None = None
 
 
+def _ready_in_waves(actors: list, init_wave: int | None) -> list[int]:
+    """ready() every actor, at most ``init_wave`` first-time CSR builds in
+    flight (None = all at once).  The build's transient peak (parquet read +
+    lexsort + gather plan) is several GB per partition at 1e9-edge scale;
+    un-staggered, P concurrent builds multiply that peak by P and the OS
+    OOM-killer takes an actor down.  Once the npz caches exist, reloads are
+    cheap and the waves cost nothing."""
+    if init_wave is None or init_wave >= len(actors):
+        return ray.get([a.ready.remote() for a in actors])
+    out: list[int] = []
+    for i in range(0, len(actors), init_wave):
+        out.extend(ray.get(
+            [a.ready.remote() for a in actors[i: i + init_wave]]))
+    return out
+
+
 class PageRankEngine:
     """Actor-pool PageRank over a built :class:`GraphLayout`.
 
     One actor per partition, created once (CSR build amortized across all
     subsequent runs — static, dynamic, with-barrier, barrier-free).
+    ``init_wave``: cap on concurrent first-time CSR builds (memory guard at
+    billion-edge scale); None = build all partitions at once.
     """
 
-    def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0):
+    def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0,
+                 init_wave: int | None = None):
         self.layout = layout
         self.P = layout.num_partitions
         self.n = layout.n_vertices
@@ -83,7 +102,7 @@ class PageRankEngine:
             )
             for pid in range(self.P)
         ]
-        self.owned = ray.get([a.ready.remote() for a in self.actors])
+        self.owned = _ready_in_waves(self.actors, init_wave)
 
     def _rebuild_actor(self, pid: int, frontier_on: bool,
                        checkpoint_dir: str | None) -> None:

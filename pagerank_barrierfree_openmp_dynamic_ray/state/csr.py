@@ -127,8 +127,13 @@ class CsrPartition:
         order = np.lexsort((in_src, dl))
         dl = dl[order]
         s = in_src[order]
+        # release the unsorted endpoint arrays NOW: at 1e9-edge scale the
+        # build's transient peak (not the pinned result) is what OOMs a
+        # many-actor first start, and the caller handed us sole ownership
+        in_src = in_dst = None
         if in_w is not None:
             in_w = np.asarray(in_w, dtype=np.float64)[order]
+        order = None
         in_indptr = np.zeros(n_owned + 1, dtype=np.int64)
         np.cumsum(np.bincount(dl, minlength=n_owned), out=in_indptr[1:])
 
@@ -140,6 +145,7 @@ class CsrPartition:
         inv[by_owner] = np.arange(len(usrc), dtype=np.int64)
         src_pos = inv[np.searchsorted(usrc, s)]
         hot_src_pos = inv[np.searchsorted(usrc, hot_src)]
+        s = inv = None  # transient-peak control (see in-CSR note above)
         owner_sorted = owner[by_owner]
         usrc_sorted = usrc[by_owner]
         needed_parts, first = np.unique(owner_sorted, return_index=True)
@@ -169,6 +175,7 @@ class CsrPartition:
         oorder = np.lexsort((out_dst, sl))
         sl = sl[oorder]
         od = out_dst[oorder]
+        out_src = out_dst = oorder = None  # transient-peak control
         out_indptr = np.zeros(n_owned + 1, dtype=np.int64)
         np.cumsum(np.bincount(sl, minlength=n_owned), out=out_indptr[1:])
 
@@ -295,12 +302,15 @@ class CsrPartition:
             ehot = read("edges_in_hot", ecols)
             hot_src, hot_dst = ehot["src"], ehot["dst"]
             hot_w = ehot.get("w")
+        # pop: build() gets SOLE ownership of the big endpoint arrays so it
+        # can release each one the moment it is consumed (transient-peak
+        # control for many-actor first starts at billion-edge scale)
         csr = cls.build(
             pid, P, n,
-            ein["src"], ein["dst"], eout["src"], eout["dst"],
+            ein.pop("src"), ein.pop("dst"), eout.pop("src"), eout.pop("dst"),
             degs["vid"], degs["deg"],
             hot_vids=hot_vids, hot_src=hot_src, hot_dst=hot_dst,
-            in_w=ein.get("w"), hot_w=hot_w,
+            in_w=ein.pop("w", None), hot_w=hot_w,
         )
         try:
             csr._save_cache(layout_path, meta["n_edges"])

@@ -332,18 +332,26 @@ class CsrPartitionActor:
     """
 
     def __init__(self, layout_path: str, pid: int):
-        self.csr = CsrPartition.from_layout(layout_path, pid)
+        # CSR construction is deferred to ready(): the first-time build
+        # (parquet read + lexsort + gather plan) transiently needs several
+        # GB at 1e9-edge scale, and actor __init__ runs EAGERLY on creation
+        # — P concurrent builds would multiply that peak by P.  Engines
+        # stagger the ready() calls in waves instead (init_wave).
+        self._layout_path = layout_path
         self.pid = pid
-        n = self.csr.n_owned
-        self.r = np.zeros(n, dtype=np.float64)
-        self.vaff = np.zeros(n, dtype=bool)  # frontier flags (monotone)
-        self.conv = np.zeros(n, dtype=bool)  # barrier-free converged flags
-        self.frontier_mode = False
-        self._dead_mask = self.csr.outdeg == 0  # DEAD-mode teleport set
-        self._step_count = 0  # local superstep counter (crash injection)
+        self.csr: CsrPartition | None = None
 
     # -------------------------------------------------- initialization
     def ready(self) -> int:
+        if self.csr is None:
+            self.csr = CsrPartition.from_layout(self._layout_path, self.pid)
+            n = self.csr.n_owned
+            self.r = np.zeros(n, dtype=np.float64)
+            self.vaff = np.zeros(n, dtype=bool)  # frontier flags (monotone)
+            self.conv = np.zeros(n, dtype=bool)  # barrier-free converged
+            self.frontier_mode = False
+            self._dead_mask = self.csr.outdeg == 0  # DEAD-mode teleport set
+            self._step_count = 0  # local superstep counter (crash injection)
         return self.csr.n_owned
 
     def init_ranks(self, q: np.ndarray | None, dtype: str = "float64") -> None:

@@ -201,7 +201,10 @@ def main() -> None:
 
         # ---- static PageRank ----
         t0 = time.perf_counter()
-        eng = PageRankEngine(lay, num_cpus_per_actor=0.9)
+        # init_wave=8: cap concurrent first-time CSR builds — un-staggered,
+        # 32 simultaneous lexsort+gather-plan builds (~3 GB transient each)
+        # OOM-killed an actor at this scale on the first attempt
+        eng = PageRankEngine(lay, num_cpus_per_actor=0.9, init_wave=8)
         init_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = eng.run(mode="barrier")
@@ -219,7 +222,7 @@ def main() -> None:
 
         # ---- connected components (layout is symmetric by construction) ----
         t0 = time.perf_counter()
-        le = LabelEngine(lay, num_cpus_per_actor=0.9)
+        le = LabelEngine(lay, num_cpus_per_actor=0.9, init_wave=8)
         le_init_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         cc = le.connected_components(collect=False)
