@@ -647,6 +647,50 @@ def _q_doc_minhash_pairs(sf_dir: str):
     return _i64(df)
 
 
+def _q_doc_dup_clusters(sf_dir: str):
+    """Near-dup cluster assignment + canonical-doc selection: every document
+    gets the smallest doc id of its minhash-pair connected component as
+    ``cluster_id`` (itself when unpaired) and ``keep = doc_id == cluster_id``
+    — the keep-one-per-near-dup-cluster step of a training-data pipeline.
+    Runs ``stages/dedup.dup_clusters`` (endpoint dense-remap -> symmetric
+    GraphLayout -> LabelEngine connected components -> label mapback); the
+    DuckDB twin closes the same pair set with a recursive transitive-closure
+    CTE (``functions/sqltwins.dup_clusters_sql``)."""
+    import ray
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+    work = os.path.join(
+        tempfile.gettempdir(), "graft_layouts",
+        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_dupc")
+    clus = dup_clusters(pairs, work).to_pandas()  # dup endpoints only (small)
+    ids = clus["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order],
+                   clus["cluster_id"].to_numpy().astype(np.int64)[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids_s, labs = ray.get(ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = d.copy()
+        if len(ids_s):
+            pos = np.minimum(np.searchsorted(ids_s, d), len(ids_s) - 1)
+            hit = ids_s[pos] == d
+            cid[hit] = labs[pos[hit]]
+        return pa.table({
+            "doc_id": pa.array(d), "cluster_id": pa.array(cid),
+            "keep": pa.array((d == cid).astype(np.int64)),
+        })
+
+    out = (_docs(sf_dir).select_columns(["doc_id"])
+           .map_batches(assign, batch_format="pyarrow").to_pandas())
+    return _i64(out.sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_doc_simhash_pairs(sf_dir: str):
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import simhash_pairs
 
@@ -1430,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_kept": _q_doc_dedup_kept,
         # near-dup family (simhash/minhash SQL-checked; ngram SQL-checked)
         "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         # similarity search
@@ -1825,6 +1870,7 @@ WHERE chunk_id * 300 < length(text)
         # hamming < bands; minhash banded recall asserted 1.0 on this corpus)
         "doc_simhash_pairs": sqltwins.simhash_sql(3),
         "doc_minhash_pairs": sqltwins.minhash_pairs_sql(0.5),
+        "doc_dup_clusters": sqltwins.dup_clusters_sql(0.5),
         # deterministic payload regeneration (stages/multimodal._pattern)
         "mm_image_stats": sqltwins.mm_image_sql(),
         "mm_audio_stats": sqltwins.mm_audio_sql(),

@@ -309,6 +309,34 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """
 
 
+def dup_clusters_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE twin of ``stages.dedup.dup_clusters`` over the minhash
+    pair set (itself :func:`minhash_pairs_sql`, hash-green): transitive
+    closure of the mirrored pair edges, MIN reachable doc id per endpoint
+    (exactly the engine's min-label CC fixpoint), then every document gets
+    its cluster id (itself when unpaired) and a keep flag marking the
+    cluster's canonical (smallest-id) member."""
+    pairs = minhash_pairs_sql(threshold)
+    return f"""
+WITH RECURSIVE
+mh AS MATERIALIZED (SELECT a, b FROM ({pairs}) z),
+edges AS (SELECT a AS v, b AS u FROM mh UNION ALL SELECT b AS v, a AS u FROM mh),
+nodes AS (SELECT DISTINCT v FROM edges),
+reach(v, u) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.v, r.u FROM edges e JOIN reach r ON r.v = e.u
+),
+clus AS (SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN clus c ON c.v = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # the multimodal payload pattern (stages/multimodal._pattern) as a BIGINT
 # expression over a position column i and a per-item seed column
 def _pattern_expr(i: str, seed: str, mod: int) -> str:

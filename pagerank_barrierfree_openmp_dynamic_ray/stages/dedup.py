@@ -679,3 +679,110 @@ def hll_distinct(ds, group_col: str, distinct_col: str, p: int = 12,
     import pandas as pd
 
     return pd.DataFrame(rows, columns=[group_col, "n_approx"])
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate CLUSTER assignment (keep-one-per-cluster)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs, workdir: str, num_partitions: int = 4,
+                 num_cpus_per_actor: float = 0.5):
+    """Near-dup pair Dataset ``(a, b)`` -> Dataset ``(doc_id, cluster_id)``:
+    every pair endpoint labeled with the SMALLEST doc id of its connected
+    component in the pair graph — the canonical "keep one document per
+    near-duplicate cluster" step of a training-data pipeline (pair sources:
+    :func:`minhash_lsh_pairs`, :func:`simhash_pairs`, embedding near-dup).
+
+    Pure composition of proven pieces, no new distributed machinery:
+
+    1. dense-remap the endpoint set with ``sorted_zip_with_index`` +
+       ``edges_to_vids`` (value-sorted, hence MONOTONE: min vid == min doc
+       id, so CC labels translate back by array lookup).  The endpoint set
+       is the *duplicated* subset of the corpus — orders of magnitude
+       smaller than the corpus, it is exact-verification output — and rides
+       the vertex-table plan: broadcast under ``BROADCAST_VERTEX_LIMIT``,
+       two distributed hash joins beyond it;
+    2. mirror the pairs into a symmetric :class:`GraphLayout` under
+       ``workdir`` (build dedups and self-loops every endpoint);
+    3. ``LabelEngine.connected_components`` — the min-label sweep measured
+       at 29M edges/s on a 1.05e9-edge graph (BASELINE.md round 4);
+    4. map the checkpointed ``(vid, label)`` Dataset back to doc ids.
+
+    Docs that appear in no pair are implicitly their own cluster; callers
+    treat absence as ``cluster_id = doc_id`` (see ``doc_dup_clusters``).
+    """
+    import os
+
+    import ray.data as rd
+
+    from ..functions.indexing import sorted_zip_with_index
+    from ..state.checkpoint import labels_dataset
+    from .graph_build import build_graph, edges_to_vids
+
+    P = np.uint64(num_partitions)
+
+    def endpoint_partial(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            batch["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ]))
+        part = (v.astype(np.uint64) % P).astype(np.int32)
+        return pa.table({"url": pa.array(v), "part": pa.array(part)})
+
+    def endpoint_distinct(group: pa.Table) -> pa.Table:
+        return group.select(["url"]).group_by(["url"]).aggregate([])
+
+    # the vertex-table plan verbatim (column named "url" so the remap can
+    # reuse edges_to_vids unchanged — its kernels are dtype-agnostic)
+    endpoints = (
+        pairs.map_batches(endpoint_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(endpoint_distinct, batch_format="pyarrow")
+    )
+    vertices, n = sorted_zip_with_index(endpoints, "url", "vid")
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+        }))
+    vertices = vertices.materialize()
+
+    def as_urls(batch: pa.Table) -> pa.Table:
+        return pa.table({"src_url": batch["a"], "dst_url": batch["b"]})
+
+    edges = edges_to_vids(
+        pairs.map_batches(as_urls, batch_format="pyarrow"), vertices, n)
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    layout = build_graph(
+        edges.map_batches(mirror, batch_format="pyarrow"), workdir,
+        num_partitions, n_vertices=n, symmetric=True, overwrite=True,
+    )
+
+    from ..pipelines.components import LabelEngine
+
+    ck = os.path.join(workdir, "cc_ckpt")
+    le = LabelEngine(layout, num_cpus_per_actor=num_cpus_per_actor)
+    try:
+        le.connected_components(collect=False, checkpoint_dir=ck)
+    finally:
+        le.shutdown()
+
+    # vid -> doc id is index -> value in the sorted endpoint array (monotone
+    # remap), so labels translate by one broadcast lookup per block
+    vals = vertices.sort("vid").to_pandas()["url"].to_numpy()
+    ref = ray.put(np.ascontiguousarray(vals.astype(np.int64)))
+
+    def back(batch: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        vid = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(v[vid]),
+                         "cluster_id": pa.array(v[lab])})
+
+    return labels_dataset(ck).map_batches(back, batch_format="pyarrow")

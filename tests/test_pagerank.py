@@ -187,3 +187,18 @@ def test_float32_rank_dtype(random_engine):
     np.testing.assert_allclose(b32.ranks, want, atol=1e-4)
     with pytest.raises(ValueError, match="float32"):
         eng.run(mode="barrier", tol=1e-10, rank_dtype="float32")
+
+
+def test_init_wave_parity(random_engine, tmp_path_factory):
+    """Staggered first-time CSR builds (init_wave < P, non-divisor) must
+    yield the identical engine state/result as the all-at-once default —
+    the memory guard changes scheduling only, never the pinned CSR."""
+    eng, layout = random_engine
+    base = eng.run(mode="barrier")
+    waved = PageRankEngine(layout, num_cpus_per_actor=0.25, init_wave=3)
+    try:
+        assert waved.owned == eng.owned
+        got = waved.run(mode="barrier")
+        np.testing.assert_array_equal(got.ranks, base.ranks)
+    finally:
+        waved.shutdown()

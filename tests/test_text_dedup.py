@@ -489,3 +489,51 @@ def test_hll_distinct_string_column_and_validation(ray_session):
 
     with pytest.raises(ValueError, match="out of range"):
         dedup.hll_distinct(rd.from_items(rows), "g", "s", p=3)
+
+
+def test_dup_clusters_matches_union_find(ray_session, tmp_path):
+    """dup_clusters: cluster_id == min doc id of the pair graph's connected
+    component, for every endpoint — checked against a plain union-find."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import dup_clusters
+
+    # components: {3,11,20,45} (chain), {7,8}, {100,250,251}; sparse ids
+    a = np.array([3, 11, 20, 7, 100, 250], dtype=np.int64)
+    b = np.array([11, 20, 45, 8, 250, 251], dtype=np.int64)
+    pairs = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    got = (
+        dup_clusters(pairs, str(tmp_path / "dupc"), num_partitions=2,
+                     num_cpus_per_actor=0.25)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        parent[find(int(x))] = find(int(y))
+    roots = {}
+    for v in parent:
+        roots.setdefault(find(v), []).append(v)
+    want = {v: min(vs) for r, vs in roots.items() for v in vs}
+
+    assert got["doc_id"].tolist() == sorted(want)
+    assert {int(r.doc_id): int(r.cluster_id) for r in got.itertuples()} == want
+
+
+def test_dup_clusters_empty_pairs(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import dup_clusters
+
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+    ds = dup_clusters(pairs, str(tmp_path / "dupc0"))
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "cluster_id"]
