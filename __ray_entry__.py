@@ -647,6 +647,43 @@ def _q_doc_minhash_pairs(sf_dir: str):
     return _i64(df)
 
 
+def _cluster_assign(all_ids_ds, id_col: str, pairs, sf_dir: str, tag: str):
+    """Shared tail of the *_dup_clusters queries: run
+    ``stages/dedup.dup_clusters`` on the pair Dataset, then give EVERY row
+    its cluster id (itself when unpaired) + ``keep = id == cluster_id`` via
+    one broadcast searchsorted lookup (the cluster table is the duplicated
+    subset only — small by construction)."""
+    import ray
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import dup_clusters
+
+    work = os.path.join(
+        tempfile.gettempdir(), "graft_layouts",
+        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + tag)
+    clus = dup_clusters(pairs, work).to_pandas()  # dup endpoints only (small)
+    ids = clus["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order],
+                   clus["cluster_id"].to_numpy().astype(np.int64)[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids_s, labs = ray.get(ref)
+        d = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = d.copy()
+        if len(ids_s):
+            pos = np.minimum(np.searchsorted(ids_s, d), len(ids_s) - 1)
+            hit = ids_s[pos] == d
+            cid[hit] = labs[pos[hit]]
+        return pa.table({
+            id_col: pa.array(d), "cluster_id": pa.array(cid),
+            "keep": pa.array((d == cid).astype(np.int64)),
+        })
+
+    out = (all_ids_ds.select_columns([id_col])
+           .map_batches(assign, batch_format="pyarrow").to_pandas())
+    return _i64(out.sort_values(id_col).reset_index(drop=True))
+
+
 def _q_doc_dup_clusters(sf_dir: str):
     """Near-dup cluster assignment + canonical-doc selection: every document
     gets the smallest doc id of its minhash-pair connected component as
@@ -656,39 +693,28 @@ def _q_doc_dup_clusters(sf_dir: str):
     GraphLayout -> LabelEngine connected components -> label mapback); the
     DuckDB twin closes the same pair set with a recursive transitive-closure
     CTE (``functions/sqltwins.dup_clusters_sql``)."""
-    import ray
-
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
-        dup_clusters,
         minhash_lsh_pairs,
     )
 
     pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
-    work = os.path.join(
-        tempfile.gettempdir(), "graft_layouts",
-        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_dupc")
-    clus = dup_clusters(pairs, work).to_pandas()  # dup endpoints only (small)
-    ids = clus["doc_id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids)
-    ref = ray.put((ids[order],
-                   clus["cluster_id"].to_numpy().astype(np.int64)[order]))
+    return _cluster_assign(_docs(sf_dir), "doc_id", pairs, sf_dir, "_dupc")
 
-    def assign(batch: pa.Table) -> pa.Table:
-        ids_s, labs = ray.get(ref)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cid = d.copy()
-        if len(ids_s):
-            pos = np.minimum(np.searchsorted(ids_s, d), len(ids_s) - 1)
-            hit = ids_s[pos] == d
-            cid[hit] = labs[pos[hit]]
-        return pa.table({
-            "doc_id": pa.array(d), "cluster_id": pa.array(cid),
-            "keep": pa.array((d == cid).astype(np.int64)),
-        })
 
-    out = (_docs(sf_dir).select_columns(["doc_id"])
-           .map_batches(assign, batch_format="pyarrow").to_pandas())
-    return _i64(out.sort_values("doc_id").reset_index(drop=True))
+def _q_emb_dup_clusters(sf_dir: str):
+    """The same cluster operator over EMBEDDING near-dup pairs (cosine >=
+    0.45, the hash-green ``emb_near_dup`` set) — semantic dedup: each vector
+    labeled with its component's smallest vec_id, keep-one-per-cluster.
+    Twin: the recursive-closure CTE over the embedding pair SQL."""
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.similarity import (
+        near_dup_cosine,
+    )
+
+    prs = near_dup_cosine(_emb(sf_dir), tau=0.45, dtype=np.float64)
+    pairs = prs.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"]}),
+        batch_format="pyarrow")
+    return _cluster_assign(_emb(sf_dir), "vec_id", pairs, sf_dir, "_dupe")
 
 
 def _q_doc_simhash_pairs(sf_dir: str):
@@ -1482,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top3": _q_ann_lsh_top3,
         "ann_ivf_top3": _q_ann_ivf_top3,
         "emb_near_dup": _q_emb_near_dup,
+        "emb_dup_clusters": _q_emb_dup_clusters,
         # multimodal plumbing (SQL-checked: deterministic payload pattern)
         "mm_image_stats": _q_mm_image_stats,
         "mm_audio_stats": _q_mm_audio_stats,
@@ -1871,6 +1898,7 @@ WHERE chunk_id * 300 < length(text)
         "doc_simhash_pairs": sqltwins.simhash_sql(3),
         "doc_minhash_pairs": sqltwins.minhash_pairs_sql(0.5),
         "doc_dup_clusters": sqltwins.dup_clusters_sql(0.5),
+        "emb_dup_clusters": sqltwins.emb_dup_clusters_sql(),
         # deterministic payload regeneration (stages/multimodal._pattern)
         "mm_image_stats": sqltwins.mm_image_sql(),
         "mm_audio_stats": sqltwins.mm_audio_sql(),

@@ -309,17 +309,16 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """
 
 
-def dup_clusters_sql(threshold: float = 0.5) -> str:
-    """Recursive-CTE twin of ``stages.dedup.dup_clusters`` over the minhash
-    pair set (itself :func:`minhash_pairs_sql`, hash-green): transitive
-    closure of the mirrored pair edges, MIN reachable doc id per endpoint
-    (exactly the engine's min-label CC fixpoint), then every document gets
-    its cluster id (itself when unpaired) and a keep flag marking the
-    cluster's canonical (smallest-id) member."""
-    pairs = minhash_pairs_sql(threshold)
+def closure_clusters_sql(pairs_sql: str, table: str, id_col: str) -> str:
+    """Recursive-CTE twin of ``stages.dedup.dup_clusters`` over any pair
+    query emitting columns ``(a, b)``: transitive closure of the mirrored
+    pair edges, MIN reachable id per endpoint (exactly the engine's
+    min-label CC fixpoint), then every row of ``table`` gets its cluster id
+    (itself when unpaired) and a keep flag marking the cluster's canonical
+    (smallest-id) member."""
     return f"""
 WITH RECURSIVE
-mh AS MATERIALIZED (SELECT a, b FROM ({pairs}) z),
+mh AS MATERIALIZED (SELECT a, b FROM ({pairs_sql}) z),
 edges AS (SELECT a AS v, b AS u FROM mh UNION ALL SELECT b AS v, a AS u FROM mh),
 nodes AS (SELECT DISTINCT v FROM edges),
 reach(v, u) AS (
@@ -328,13 +327,34 @@ reach(v, u) AS (
   SELECT e.v, r.u FROM edges e JOIN reach r ON r.v = e.u
 ),
 clus AS (SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v)
-SELECT d.doc_id,
-       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-       CAST(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+SELECT d.{id_col},
+       COALESCE(c.cluster_id, d.{id_col}) AS cluster_id,
+       CAST(CASE WHEN d.{id_col} = COALESCE(c.cluster_id, d.{id_col})
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
-FROM documents d LEFT JOIN clus c ON c.v = d.doc_id
-ORDER BY d.doc_id
+FROM {table} d LEFT JOIN clus c ON c.v = d.{id_col}
+ORDER BY d.{id_col}
 """
+
+
+def dup_clusters_sql(threshold: float = 0.5) -> str:
+    """:func:`closure_clusters_sql` over the minhash pair set
+    (:func:`minhash_pairs_sql`, itself hash-green)."""
+    return closure_clusters_sql(minhash_pairs_sql(threshold),
+                                "documents", "doc_id")
+
+
+EMB_NEAR_DUP_PAIRS_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+def emb_dup_clusters_sql() -> str:
+    """:func:`closure_clusters_sql` over the embedding-cosine near-dup pair
+    set (the ``emb_near_dup`` twin, hash-green at tau=0.45)."""
+    return closure_clusters_sql(EMB_NEAR_DUP_PAIRS_SQL,
+                                "embeddings", "vec_id")
 
 
 # the multimodal payload pattern (stages/multimodal._pattern) as a BIGINT
