@@ -701,6 +701,37 @@ def _q_doc_dup_clusters(sf_dir: str):
     return _cluster_assign(_docs(sf_dir), "doc_id", pairs, sf_dir, "_dupc")
 
 
+def _q_doc_leak_split(sf_dir: str):
+    """Leakage-safe train/val split: ``split`` is a pure hash function of
+    each document's near-dup CLUSTER id (the minhash-pair component
+    representative), so near-duplicates can never straddle the boundary —
+    a plain row-hash split would leak val content into train via
+    near-copies.  Runs ``stages/sampling.leakage_safe_split`` over the
+    ``dup_clusters`` table; twin = the recursive-closure CTE + the same
+    HUGEINT hash predicate on the cluster id."""
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.sampling import (
+        leakage_safe_split,
+    )
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+    work = os.path.join(
+        tempfile.gettempdir(), "graft_layouts",
+        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_dups")
+    clus = dup_clusters(pairs, work).to_pandas()
+    ids = clus["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    out = leakage_safe_split(
+        _docs(sf_dir), "doc_id", ids[order],
+        clus["cluster_id"].to_numpy().astype(np.int64)[order],
+        val_ppm=100_000,
+    ).to_pandas()
+    return _i64(out.sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_emb_dup_clusters(sf_dir: str):
     """The same cluster operator over EMBEDDING near-dup pairs (cosine >=
     0.45, the hash-green ``emb_near_dup`` set) — semantic dedup: each vector
@@ -1501,6 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup family (simhash/minhash SQL-checked; ngram SQL-checked)
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_leak_split": _q_doc_leak_split,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         # similarity search
@@ -1899,6 +1931,7 @@ WHERE chunk_id * 300 < length(text)
         "doc_minhash_pairs": sqltwins.minhash_pairs_sql(0.5),
         "doc_dup_clusters": sqltwins.dup_clusters_sql(0.5),
         "emb_dup_clusters": sqltwins.emb_dup_clusters_sql(),
+        "doc_leak_split": sqltwins.leak_split_sql(0.5, 100_000),
         # deterministic payload regeneration (stages/multimodal._pattern)
         "mm_image_stats": sqltwins.mm_image_sql(),
         "mm_audio_stats": sqltwins.mm_audio_sql(),

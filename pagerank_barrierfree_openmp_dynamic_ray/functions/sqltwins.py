@@ -309,13 +309,10 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """
 
 
-def closure_clusters_sql(pairs_sql: str, table: str, id_col: str) -> str:
-    """Recursive-CTE twin of ``stages.dedup.dup_clusters`` over any pair
-    query emitting columns ``(a, b)``: transitive closure of the mirrored
-    pair edges, MIN reachable id per endpoint (exactly the engine's
-    min-label CC fixpoint), then every row of ``table`` gets its cluster id
-    (itself when unpaired) and a keep flag marking the cluster's canonical
-    (smallest-id) member."""
+def _closure_ctes(pairs_sql: str) -> str:
+    """Shared CTE prefix: transitive closure of the mirrored ``(a, b)`` pair
+    edges, MIN reachable id per endpoint (exactly the engine's min-label CC
+    fixpoint) — ends with ``clus(v, cluster_id)``."""
     return f"""
 WITH RECURSIVE
 mh AS MATERIALIZED (SELECT a, b FROM ({pairs_sql}) z),
@@ -326,13 +323,37 @@ reach(v, u) AS (
   UNION
   SELECT e.v, r.u FROM edges e JOIN reach r ON r.v = e.u
 ),
-clus AS (SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v)
+clus AS (SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v)"""
+
+
+def closure_clusters_sql(pairs_sql: str, table: str, id_col: str) -> str:
+    """Recursive-CTE twin of ``stages.dedup.dup_clusters`` over any pair
+    query emitting columns ``(a, b)``: every row of ``table`` gets its
+    cluster id (itself when unpaired) and a keep flag marking the cluster's
+    canonical (smallest-id) member."""
+    return f"""{_closure_ctes(pairs_sql)}
 SELECT d.{id_col},
        COALESCE(c.cluster_id, d.{id_col}) AS cluster_id,
        CAST(CASE WHEN d.{id_col} = COALESCE(c.cluster_id, d.{id_col})
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM {table} d LEFT JOIN clus c ON c.v = d.{id_col}
 ORDER BY d.{id_col}
+"""
+
+
+def leak_split_sql(threshold: float = 0.5, val_ppm: int = 100_000) -> str:
+    """Twin of ``stages.sampling.leakage_safe_split`` over the minhash
+    cluster structure: split decided by the CLUSTER id's hash bucket (the
+    ``hash_sample`` predicate), so near-dup documents always share a side."""
+    from ..stages.sampling import sample_sql_predicate
+
+    pred = sample_sql_predicate("(COALESCE(c.cluster_id, d.doc_id))", val_ppm)
+    return f"""{_closure_ctes(minhash_pairs_sql(threshold))}
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN {pred} THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN clus c ON c.v = d.doc_id
+ORDER BY d.doc_id
 """
 
 

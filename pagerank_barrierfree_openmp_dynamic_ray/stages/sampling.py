@@ -46,3 +46,51 @@ def sample_sql_predicate(col: str, rate_ppm: int) -> str:
     m = 18446744073709551616
     return (f"((({col}::HUGEINT * 2654435761) % {m} + {m}) % {m})"
             f" % 1000000 < {rate_ppm}")
+
+
+def leakage_safe_split(ds, id_col: str, cluster_ids, cluster_labels,
+                       val_ppm: int = 100_000):
+    """Assign every row a train/val ``split`` that is a pure function of its
+    near-dup CLUSTER id — so near-duplicate rows can never straddle the
+    boundary (the leakage-safe split of a training-data pipeline; a plain
+    row-hash split leaks ~rate x dup-fraction of val into train via
+    near-copies).
+
+    ``cluster_ids`` / ``cluster_labels``: the cluster table from
+    :func:`..dedup.dup_clusters` as a SORTED id array + aligned component
+    representatives (the duplicated subset only — small by construction,
+    broadcast once via ``ray.put``).  Rows absent from the table are their
+    own cluster.  ``split = 'val'`` iff the cluster id's hash bucket (the
+    :func:`hash_sample` function, SQL-reproducible) < ``val_ppm``.
+
+    Returns a Dataset ``(id_col, cluster_id, split)`` — stateless vectorized
+    map, no shuffle."""
+    import ray
+
+    if not 0 <= val_ppm <= 1_000_000:
+        raise ValueError(f"leakage_safe_split: val_ppm={val_ppm} out of "
+                         "range [0, 1000000]")
+    ids = np.asarray(cluster_ids, np.int64)
+    if len(ids) > 1 and not (ids[1:] > ids[:-1]).all():
+        raise ValueError("leakage_safe_split: cluster_ids must be sorted "
+                         "strictly ascending")
+    ref = ray.put((ids, np.asarray(cluster_labels, np.int64)))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids_s, labs = ray.get(ref)
+        d = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = d.copy()
+        if len(ids_s):
+            pos = np.minimum(np.searchsorted(ids_s, d), len(ids_s) - 1)
+            hit = ids_s[pos] == d
+            cid[hit] = labs[pos[hit]]
+        with np.errstate(over="ignore"):
+            bucket = (cid.astype(np.uint64) * _MULT) % np.uint64(1_000_000)
+        return pa.table({
+            id_col: pa.array(d),
+            "cluster_id": pa.array(cid),
+            "split": pa.array(
+                np.where(bucket < np.uint64(val_ppm), "val", "train")),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow")

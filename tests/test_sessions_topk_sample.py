@@ -138,3 +138,37 @@ def test_hash_sample_deterministic_and_sql_identical(ray_session):
 
     with pytest.raises(ValueError, match="rate_ppm"):
         hash_sample(ds, "doc_id", -1)
+
+
+def test_leakage_safe_split_cluster_consistent(ray_session):
+    """Every member of a near-dup cluster lands on the SAME side (the whole
+    point of the operator), membership is deterministic across calls, and
+    unclustered ids split by their own hash."""
+    import ray.data as rd
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.sampling import (
+        hash_sample, leakage_safe_split)
+
+    ids = np.arange(0, 5000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    # clusters: (10,11,12)->10, (100,4999)->100
+    cids = np.array([10, 11, 12, 100, 4999], np.int64)
+    labs = np.array([10, 10, 10, 100, 100], np.int64)
+    out = leakage_safe_split(ds, "doc_id", cids, labs, val_ppm=200_000)
+    df = out.to_pandas().set_index("doc_id")
+    assert len(set(df.loc[[10, 11, 12], "split"])) == 1
+    assert len(set(df.loc[[100, 4999], "split"])) == 1
+    again = leakage_safe_split(ds, "doc_id", cids, labs,
+                               val_ppm=200_000).to_pandas().set_index("doc_id")
+    assert (df["split"] == again["split"]).all()
+    # unclustered rows: split == the hash_sample membership of their OWN id
+    solo = df.drop(index=[10, 11, 12, 100, 4999])
+    sampled = set(hash_sample(ds, "doc_id", 200_000)
+                  .to_pandas()["doc_id"]) - {10, 11, 12, 100, 4999}
+    assert set(solo.index[solo["split"] == "val"]) == sampled
+    # both sides non-trivially populated at this rate
+    assert 500 < (df["split"] == "val").sum() < 1500
+    with pytest.raises(ValueError):
+        leakage_safe_split(ds, "doc_id", cids, labs, val_ppm=2_000_000)
+    with pytest.raises(ValueError):
+        leakage_safe_split(ds, "doc_id", cids[::-1], labs, val_ppm=1000)
