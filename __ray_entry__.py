@@ -647,33 +647,37 @@ def _q_doc_minhash_pairs(sf_dir: str):
     return _i64(df)
 
 
-def _cluster_assign(all_ids_ds, id_col: str, pairs, sf_dir: str, tag: str):
-    """Shared tail of the *_dup_clusters queries: run
-    ``stages/dedup.dup_clusters`` on the pair Dataset, then give EVERY row
-    its cluster id (itself when unpaired) + ``keep = id == cluster_id`` via
-    one broadcast searchsorted lookup (the cluster table is the duplicated
-    subset only — small by construction)."""
-    import ray
-
+def _cluster_table(pairs, sf_dir: str, tag: str):
+    """Run ``stages/dedup.dup_clusters`` on the pair Dataset and return the
+    cluster table as (sorted endpoint ids, aligned representatives) — the
+    duplicated subset only, small by construction."""
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import dup_clusters
 
     work = os.path.join(
         tempfile.gettempdir(), "graft_layouts",
         os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + tag)
-    clus = dup_clusters(pairs, work).to_pandas()  # dup endpoints only (small)
+    clus = dup_clusters(pairs, work).to_pandas()
     ids = clus["doc_id"].to_numpy().astype(np.int64)
     order = np.argsort(ids)
-    ref = ray.put((ids[order],
-                   clus["cluster_id"].to_numpy().astype(np.int64)[order]))
+    return ids[order], clus["cluster_id"].to_numpy().astype(np.int64)[order]
+
+
+def _cluster_assign(all_ids_ds, id_col: str, pairs, sf_dir: str, tag: str):
+    """Shared tail of the *_dup_clusters queries: give EVERY row its cluster
+    id (itself when unpaired) + ``keep = id == cluster_id`` via one
+    broadcast ``cluster_lookup`` per block."""
+    import ray
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.sampling import (
+        cluster_lookup,
+    )
+
+    ref = ray.put(_cluster_table(pairs, sf_dir, tag))
 
     def assign(batch: pa.Table) -> pa.Table:
         ids_s, labs = ray.get(ref)
         d = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cid = d.copy()
-        if len(ids_s):
-            pos = np.minimum(np.searchsorted(ids_s, d), len(ids_s) - 1)
-            hit = ids_s[pos] == d
-            cid[hit] = labs[pos[hit]]
+        cid = cluster_lookup(ids_s, labs, d)
         return pa.table({
             id_col: pa.array(d), "cluster_id": pa.array(cid),
             "keep": pa.array((d == cid).astype(np.int64)),
@@ -710,7 +714,6 @@ def _q_doc_leak_split(sf_dir: str):
     ``dup_clusters`` table; twin = the recursive-closure CTE + the same
     HUGEINT hash predicate on the cluster id."""
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import (
-        dup_clusters,
         minhash_lsh_pairs,
     )
     from pagerank_barrierfree_openmp_dynamic_ray.stages.sampling import (
@@ -718,16 +721,9 @@ def _q_doc_leak_split(sf_dir: str):
     )
 
     pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
-    work = os.path.join(
-        tempfile.gettempdir(), "graft_layouts",
-        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + "_dups")
-    clus = dup_clusters(pairs, work).to_pandas()
-    ids = clus["doc_id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids)
+    ids, labels = _cluster_table(pairs, sf_dir, "_dups")
     out = leakage_safe_split(
-        _docs(sf_dir), "doc_id", ids[order],
-        clus["cluster_id"].to_numpy().astype(np.int64)[order],
-        val_ppm=100_000,
+        _docs(sf_dir), "doc_id", ids, labels, val_ppm=100_000,
     ).to_pandas()
     return _i64(out.sort_values("doc_id").reset_index(drop=True))
 
@@ -1741,11 +1737,9 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.02
 """,
-        "emb_near_dup": """
-SELECT a.vec_id AS a, b.vec_id AS b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
-""",
+        # single source of truth with the emb_dup_clusters closure twin —
+        # a tau/cast tweak can never diverge the pair set from its clusters
+        "emb_near_dup": sqltwins.EMB_NEAR_DUP_PAIRS_SQL,
         "rev_by_nation": """
 SELECT n_name,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))

@@ -164,8 +164,9 @@ class LabelEngine:
     def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0,
                  init_wave: int | None = None):
         from ..state.partition_actor import CsrPartitionActor
-        from .pagerank import _ready_in_waves
+        from .pagerank import _ready_in_waves, check_init_wave
 
+        check_init_wave(init_wave)
         self.layout = layout
         self.P = layout.num_partitions
         self.n = layout.n_vertices

@@ -65,6 +65,13 @@ class Frontier:
     affected: np.ndarray | None = None
 
 
+def check_init_wave(init_wave: int | None) -> None:
+    """Engines call this BEFORE creating actors — a bad wave must fail
+    eagerly, not after P actors have been spawned and leaked."""
+    if init_wave is not None and init_wave < 1:
+        raise ValueError(f"init_wave must be >= 1, got {init_wave}")
+
+
 def _ready_in_waves(actors: list, init_wave: int | None) -> list[int]:
     """ready() every actor, at most ``init_wave`` first-time CSR builds in
     flight (None = all at once).  The build's transient peak (parquet read +
@@ -72,6 +79,7 @@ def _ready_in_waves(actors: list, init_wave: int | None) -> list[int]:
     un-staggered, P concurrent builds multiply that peak by P and the OS
     OOM-killer takes an actor down.  Once the npz caches exist, reloads are
     cheap and the waves cost nothing."""
+    check_init_wave(init_wave)
     if init_wave is None or init_wave >= len(actors):
         return ray.get([a.ready.remote() for a in actors])
     out: list[int] = []
@@ -92,6 +100,7 @@ class PageRankEngine:
 
     def __init__(self, layout: GraphLayout, num_cpus_per_actor: float = 1.0,
                  init_wave: int | None = None):
+        check_init_wave(init_wave)
         self.layout = layout
         self.P = layout.num_partitions
         self.n = layout.n_vertices

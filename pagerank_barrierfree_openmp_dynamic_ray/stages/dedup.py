@@ -720,6 +720,10 @@ def dup_clusters(pairs, workdir: str, num_partitions: int = 4,
     from .graph_build import build_graph, edges_to_vids
 
     P = np.uint64(num_partitions)
+    # the pair lineage is consumed TWICE below (endpoint extraction, then
+    # edges_to_vids) — pin its blocks so an expensive upstream (minhash
+    # signatures + bucket groupby + verify joins) runs once, not twice
+    pairs = pairs.materialize()
 
     def endpoint_partial(batch: pa.Table) -> pa.Table:
         v = np.unique(np.concatenate([

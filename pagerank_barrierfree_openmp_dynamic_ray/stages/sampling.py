@@ -48,6 +48,20 @@ def sample_sql_predicate(col: str, rate_ppm: int) -> str:
             f" % 1000000 < {rate_ppm}")
 
 
+def cluster_lookup(ids_sorted: np.ndarray, labels: np.ndarray,
+                   d: np.ndarray) -> np.ndarray:
+    """Map each id in ``d`` to its cluster representative via one
+    searchsorted over the SORTED cluster-id array; ids absent from the
+    table are their own cluster.  The shared lookup kernel of
+    :func:`leakage_safe_split` and the ``*_dup_clusters`` queries."""
+    cid = d.copy()
+    if len(ids_sorted):
+        pos = np.minimum(np.searchsorted(ids_sorted, d), len(ids_sorted) - 1)
+        hit = ids_sorted[pos] == d
+        cid[hit] = labels[pos[hit]]
+    return cid
+
+
 def leakage_safe_split(ds, id_col: str, cluster_ids, cluster_labels,
                        val_ppm: int = 100_000):
     """Assign every row a train/val ``split`` that is a pure function of its
@@ -71,19 +85,19 @@ def leakage_safe_split(ds, id_col: str, cluster_ids, cluster_labels,
         raise ValueError(f"leakage_safe_split: val_ppm={val_ppm} out of "
                          "range [0, 1000000]")
     ids = np.asarray(cluster_ids, np.int64)
+    labels = np.asarray(cluster_labels, np.int64)
+    if len(ids) != len(labels):
+        raise ValueError("leakage_safe_split: cluster_ids and cluster_labels "
+                         f"lengths differ ({len(ids)} vs {len(labels)})")
     if len(ids) > 1 and not (ids[1:] > ids[:-1]).all():
         raise ValueError("leakage_safe_split: cluster_ids must be sorted "
                          "strictly ascending")
-    ref = ray.put((ids, np.asarray(cluster_labels, np.int64)))
+    ref = ray.put((ids, labels))
 
     def tag(batch: pa.Table) -> pa.Table:
         ids_s, labs = ray.get(ref)
         d = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cid = d.copy()
-        if len(ids_s):
-            pos = np.minimum(np.searchsorted(ids_s, d), len(ids_s) - 1)
-            hit = ids_s[pos] == d
-            cid[hit] = labs[pos[hit]]
+        cid = cluster_lookup(ids_s, labs, d)
         with np.errstate(over="ignore"):
             bucket = (cid.astype(np.uint64) * _MULT) % np.uint64(1_000_000)
         return pa.table({

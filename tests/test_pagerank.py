@@ -195,6 +195,8 @@ def test_init_wave_parity(random_engine, tmp_path_factory):
     the memory guard changes scheduling only, never the pinned CSR."""
     eng, layout = random_engine
     base = eng.run(mode="barrier")
+    with pytest.raises(ValueError):
+        PageRankEngine(layout, num_cpus_per_actor=0.25, init_wave=0)
     waved = PageRankEngine(layout, num_cpus_per_actor=0.25, init_wave=3)
     try:
         assert waved.owned == eng.owned

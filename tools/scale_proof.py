@@ -189,13 +189,14 @@ def main() -> None:
         dt = time.perf_counter() - t0
         resumed = args.resume and dt < 300  # a real 1e9 build takes >300 s
         result["build"] = {
-            "wall_s": round(dt, 1),
-            # a resumed run only VALIDATES the existing layout; its wall time
-            # is not a build measurement (see BASELINE.md for the real one)
+            # a resumed run only VALIDATES the existing layout: wall_s /
+            # edges_per_s are nulled so no consumer aggregates a fabricated
+            # throughput (see BASELINE.md for the real build measurement)
+            "wall_s": None if resumed else round(dt, 1),
             "resumed": resumed,
             "n_edges": lay.n_edges,
             "n_hot": lay.n_hot,
-            "edges_per_s": int(lay.n_edges / dt),
+            "edges_per_s": None if resumed else int(lay.n_edges / dt),
             "layout_gb": round(sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(args.out) for f in fs) / 2**30, 2),
