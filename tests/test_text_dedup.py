@@ -537,3 +537,24 @@ def test_dup_clusters_empty_pairs(ray_session, tmp_path):
     ds = dup_clusters(pairs, str(tmp_path / "dupc0"))
     assert ds.count() == 0
     assert ds.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_dup_clusters_join_scale_path(ray_session, tmp_path, monkeypatch):
+    """Force the >BROADCAST_VERTEX_LIMIT remap branch (two Dataset.joins)
+    with INT endpoint columns — dup_clusters inherits edges_to_vids' scale
+    path, which the url pipeline pins only for string keys."""
+    import ray.data as rd
+
+    import pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build as gb
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import dup_clusters
+
+    monkeypatch.setattr(gb, "BROADCAST_VERTEX_LIMIT", 0)
+    a = np.array([5, 17, 901, 17], dtype=np.int64)
+    b = np.array([17, 901, 5, 2**40], dtype=np.int64)  # one 40-bit id
+    pairs = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    got = (dup_clusters(pairs, str(tmp_path / "dupj"), num_partitions=2,
+                        num_cpus_per_actor=0.25)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # one component {5, 17, 901, 2**40} -> representative 5
+    assert got["doc_id"].tolist() == [5, 17, 901, 2**40]
+    assert (got["cluster_id"] == 5).all()
