@@ -148,6 +148,12 @@ def main() -> None:
                     help="keep the layout dir (default: delete at exit)")
     ap.add_argument("--resume", action="store_true",
                     help="reuse a complete layout at --out if present")
+    ap.add_argument("--dynamic-batch", type=int, default=0,
+                    help="after static PR: generate this many edge "
+                    "deletions+insertions, apply them INCREMENTALLY, and "
+                    "run warm-started naive-dynamic + dynamic-frontier PR "
+                    "on the updated layout (the reference's headline "
+                    "experiment, main.sh batch grid)")
     args = ap.parse_args()
 
     import ray
@@ -224,7 +230,59 @@ def main() -> None:
         }
         print(json.dumps({"stage": "pr_static", **result["pr_static"]}),
               flush=True)
+        warm = res.ranks if args.dynamic_batch else None
         eng.shutdown()
+
+        # ---- dynamic step: incremental batch apply + warm-started PR ----
+        if args.dynamic_batch:
+            from pagerank_barrierfree_openmp_dynamic_ray.pipelines.pagerank import (
+                Frontier,
+            )
+            from pagerank_barrierfree_openmp_dynamic_ray.pipelines.updates import (
+                apply_batch_to_layout,
+                generate_batch_from_layout,
+            )
+
+            t0 = time.perf_counter()
+            ds_, dd_, is_, id_ = generate_batch_from_layout(
+                lay, args.dynamic_batch, seed=7)
+            gen_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            new = apply_batch_to_layout(lay, args.out + "_g2",
+                                        ds_, dd_, is_, id_)
+            apply_s = time.perf_counter() - t0
+            _ray_recycle(result, "batch_apply")
+            t0 = time.perf_counter()
+            eng2 = PageRankEngine(new, num_cpus_per_actor=0.9, init_wave=8)
+            init2_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rn = eng2.run(mode="barrier", q=warm)
+            naive_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rf = eng2.run(mode="barrier", q=warm,
+                          frontier=Frontier(old_layout=lay, del_src=ds_,
+                                            ins_src=is_))
+            frontier_s = time.perf_counter() - t0
+            linf = float(np.abs(rn.ranks - rf.ranks).max())
+            result["dynamic"] = {
+                "batch_edges": int(len(ds_) + len(is_)),
+                "gen_s": round(gen_s, 1),
+                "incremental_apply_s": round(apply_s, 1),
+                "n_edges_new": new.n_edges,
+                "engine_init_s": round(init2_s, 1),
+                "pr_naive": {"wall_s": round(naive_s, 1),
+                             "iters": rn.iterations},
+                "pr_frontier": {"wall_s": round(frontier_s, 1),
+                                "iters": rf.iterations},
+                "frontier_vs_naive_linf": linf,
+                "disk_free_gb": round(
+                    shutil.disk_usage("/tmp").free / 2**30, 1),
+            }
+            print(json.dumps({"stage": "dynamic", **result["dynamic"]}),
+                  flush=True)
+            eng2.shutdown()
+            shutil.rmtree(args.out + "_g2", ignore_errors=True)
+            _ray_recycle(result, "dynamic_pr")
 
         # ---- connected components (layout is symmetric by construction) ----
         t0 = time.perf_counter()
