@@ -136,6 +136,50 @@ def synth_edges(n_pairs: int, n_vertices: int, seed: int, num_blocks: int):
         gen, batch_format="pyarrow", batch_size=1)
 
 
+def synth_ring_edges(n_vertices: int, k: int, segment: int, num_blocks: int):
+    """Deterministic LOCALIZED graph: vids partitioned into rings of
+    ``segment`` vertices; each vertex links to its next ``k`` neighbors
+    within its ring (mirrored -> 2k degree).  No edge crosses a segment, so
+    a batch's influence is confined — the localized regime where the
+    frontier rule's affected set stays small (the reference's Fig.-2
+    crossover graph, at proof scale)."""
+    import ray.data as rd
+
+    per = -(-n_vertices // num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bid in batch["id"].to_numpy():
+            lo = int(bid) * per
+            m = min(per, n_vertices - lo)
+            if m <= 0:
+                continue
+            v = np.arange(lo, lo + m, dtype=np.uint64)
+            seg = v // np.uint64(segment)
+            base = seg * np.uint64(segment)
+            pos = v - base
+            seg_len = np.minimum((seg + np.uint64(1)) * np.uint64(segment),
+                                 np.uint64(n_vertices)) - base
+            srcs, dsts = [], []
+            for off in range(1, k + 1):
+                dst = base + (pos + np.uint64(off)) % seg_len
+                keep = dst != v  # segments shorter than off+1
+                srcs.append(v[keep])
+                dsts.append(dst[keep])
+            s = np.concatenate(srcs)
+            d = np.concatenate(dsts)
+            outs.append(pa.table({
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }))
+        return (pa.concat_tables(outs) if outs
+                else pa.table({"src": pa.array([], pa.uint64()),
+                               "dst": pa.array([], pa.uint64())}))
+
+    return rd.range(num_blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=500_000_000)
@@ -154,6 +198,18 @@ def main() -> None:
                     "run warm-started naive-dynamic + dynamic-frontier PR "
                     "on the updated layout (the reference's headline "
                     "experiment, main.sh batch grid)")
+    ap.add_argument("--dynamic-local-span", type=int, default=0,
+                    help="with --dynamic-batch: draw the batch as "
+                    "INSERTIONS ONLY among vids < span (a localized update "
+                    "— the regime where the frontier rule's affected set "
+                    "stays small; 0 = uniform del+ins over the layout)")
+    ap.add_argument("--graph", choices=["skew", "ring"], default="skew",
+                    help="edge generator: 'skew' = u^2 celebrity-skewed "
+                    "random pairs (expander); 'ring' = segmented k-neighbor "
+                    "rings (localized; --pairs is ignored, |E| = "
+                    "2k * vertices)")
+    ap.add_argument("--ring-k", type=int, default=10)
+    ap.add_argument("--ring-segment", type=int, default=256)
     args = ap.parse_args()
 
     import ray
@@ -184,8 +240,16 @@ def main() -> None:
 
     try:
         # ---- build (generation streams straight into the build's dedup) ----
-        n_blocks = max(32, args.pairs // 4_000_000)
-        edges = synth_edges(args.pairs, args.vertices, args.seed, n_blocks)
+        if args.graph == "ring":
+            n_blocks = max(32, args.vertices * args.ring_k // 4_000_000)
+            edges = synth_ring_edges(args.vertices, args.ring_k,
+                                     args.ring_segment, n_blocks)
+            result["graph"] = {"kind": "ring", "k": args.ring_k,
+                               "segment": args.ring_segment}
+        else:
+            n_blocks = max(32, args.pairs // 4_000_000)
+            edges = synth_edges(args.pairs, args.vertices, args.seed,
+                                n_blocks)
         t0 = time.perf_counter()
         lay = build_graph(edges, args.out, args.partitions,
                           n_vertices=args.vertices,
@@ -244,8 +308,16 @@ def main() -> None:
             )
 
             t0 = time.perf_counter()
-            ds_, dd_, is_, id_ = generate_batch_from_layout(
-                lay, args.dynamic_batch, seed=7)
+            if args.dynamic_local_span:
+                g = np.random.default_rng(7)
+                is_ = g.integers(0, args.dynamic_local_span,
+                                 args.dynamic_batch).astype(np.uint64)
+                id_ = g.integers(0, args.dynamic_local_span,
+                                 args.dynamic_batch).astype(np.uint64)
+                ds_ = dd_ = np.empty(0, np.uint64)
+            else:
+                ds_, dd_, is_, id_ = generate_batch_from_layout(
+                    lay, args.dynamic_batch, seed=7)
             gen_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             new = apply_batch_to_layout(lay, args.out + "_g2",
@@ -270,10 +342,13 @@ def main() -> None:
                 "incremental_apply_s": round(apply_s, 1),
                 "n_edges_new": new.n_edges,
                 "engine_init_s": round(init2_s, 1),
+                "local_span": args.dynamic_local_span or None,
                 "pr_naive": {"wall_s": round(naive_s, 1),
-                             "iters": rn.iterations},
+                             "iters": rn.iterations,
+                             "swept_vertices": rn.stats["swept_vertices"]},
                 "pr_frontier": {"wall_s": round(frontier_s, 1),
-                                "iters": rf.iterations},
+                                "iters": rf.iterations,
+                                "swept_vertices": rf.stats["swept_vertices"]},
                 "frontier_vs_naive_linf": linf,
                 "disk_free_gb": round(
                     shutil.disk_usage("/tmp").free / 2**30, 1),
