@@ -271,3 +271,103 @@ def test_chunk_documents_vs_duckdb(ray_session):
         ORDER BY doc_id, chunk_id""").df()
     got["chunk_id"] = got["chunk_id"].astype(exp["chunk_id"].dtype)
     pd.testing.assert_frame_equal(got, exp)
+
+# ---------------------------------------------------------------------------
+# celebrity-key (hot-key) guard
+# ---------------------------------------------------------------------------
+
+def _skewed_tables(seed=3, n_right=60_000, n_keys=999):
+    """Right side where key 0 holds 50% of all rows (the classic
+    null-substitute celebrity); left side mixes hot, cold and missing keys."""
+    rng = np.random.default_rng(seed)
+    n_hot = n_right // 2
+    rk = np.concatenate([
+        np.zeros(n_hot, np.int64),
+        rng.integers(1, n_keys, n_right - n_hot),
+    ])
+    rv = np.arange(n_right, dtype=np.int64)
+    lk = np.concatenate([
+        np.zeros(3, np.int64),                       # hot hits
+        rng.integers(1, n_keys + 200, 400),          # cold hits + misses
+    ])
+    lv = np.arange(len(lk), dtype=np.int64)
+    return lk, lv, rk, rv
+
+
+def test_hash_join_hot_key_inner_matches_unguarded(ray_session):
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.relational import (
+        _hot_counts,
+    )
+
+    lk, lv, rk, rv = _skewed_tables()
+    left, right = _mk({"k": lk, "lv": lv}), _mk({"k": rk, "rv": rv})
+    # the guard detects exactly the celebrity
+    hot = _hot_counts(_mk({"k": rk}), "k", 5_000, 4)
+    assert hot == {0: (rk == 0).sum()}
+    got = (hash_join(left, right, "k", "k", take=["rv"], num_partitions=4,
+                     hot_key_rows=5_000)
+           .to_pandas().sort_values(["lv", "rv_r"]).reset_index(drop=True))
+    exp = (hash_join(left, right, "k", "k", take=["rv"], num_partitions=4,
+                     hot_key_rows=None)
+           .to_pandas().sort_values(["lv", "rv_r"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # and vs pandas on the hot key alone: exactly 3 x n_hot pairs, no dups
+    assert (got["k"] == 0).sum() == 3 * (rk == 0).sum()
+
+
+def test_hash_join_hot_key_left_owes_no_duplicate_misses(ray_session):
+    lk, lv, rk, rv = _skewed_tables(seed=5)
+    left, right = _mk({"k": lk, "lv": lv}), _mk({"k": rk, "rv": rv})
+    got = (hash_join(left, right, "k", "k", take=["rv"], how="left",
+                     num_partitions=4, hot_key_rows=5_000).to_pandas())
+    exp = pd.merge(pd.DataFrame({"k": lk, "lv": lv}),
+                   pd.DataFrame({"k": rk, "rv_r": rv}),
+                   on="k", how="left")
+    assert len(got) == len(exp)
+    # every missing-key left row appears EXACTLY once, with a null
+    miss = ~np.isin(lk, rk)
+    g_miss = got[got["rv_r"].isna()].sort_values("lv")
+    assert g_miss["lv"].tolist() == sorted(lv[miss].tolist())
+
+
+def test_semi_anti_hot_key_shortcut(ray_session):
+    lk, lv, rk, _ = _skewed_tables(seed=7)
+    left, right = _mk({"k": lk, "lv": lv}), _mk({"k": rk})
+    semi = (semi_join(left, right, "k", "k", num_partitions=4,
+                      bloom_bits=1 << 14, hot_key_rows=5_000)
+            .to_pandas().sort_values("lv").reset_index(drop=True))
+    anti = (anti_join(left, right, "k", "k", num_partitions=4,
+                      hot_key_rows=5_000)
+            .to_pandas().sort_values("lv").reset_index(drop=True))
+    member = np.isin(lk, rk)
+    assert semi["lv"].tolist() == sorted(lv[member].tolist())
+    assert anti["lv"].tolist() == sorted(lv[~member].tolist())
+
+
+def test_split_block_salted_balance(ray_session):
+    """The celebrity run spreads near-evenly over its salt sub-parts (the
+    'no resolve task >2x the mean' criterion at the split level)."""
+    import ray
+
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.relational import (
+        _split_block_salted,
+    )
+
+    n = 50_000
+    k = np.concatenate([np.zeros(n // 2, np.int64),
+                        np.arange(1, n // 2 + 1, dtype=np.int64)])
+    tab = pa.table({"k": k, "v": np.arange(n)})
+    P, S = 4, 5
+    outs = ray.get(_split_block_salted.options(num_returns=P + S).remote(
+        ray.put(tab), "k", P, np.array([0], np.int64),
+        np.array([P], np.int64), np.array([S], np.int64), P + S, 0))
+    salt_rows = [t.num_rows for t in outs[P:]]
+    assert sum(salt_rows) == n // 2
+    assert max(salt_rows) <= 2 * (n // 2) / S
+    # cold rows land by key%P, never in a salt part
+    for p in range(P):
+        kk = outs[p]["k"].to_numpy()
+        assert (kk % P == p).all() and (kk != 0).all()
+    # union preserves the multiset
+    allv = np.concatenate([t["v"].to_numpy() for t in outs])
+    assert np.array_equal(np.sort(allv), np.arange(n))
