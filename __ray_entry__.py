@@ -647,22 +647,45 @@ def _q_doc_minhash_pairs(sf_dir: str):
     return _i64(df)
 
 
-def _cluster_table(pairs, sf_dir: str, tag: str):
-    """Run ``stages/dedup.dup_clusters`` on the pair Dataset and return the
+# (sf_dir, tag) -> cluster table; the table is a pure function of the pair
+# source, so queries sharing a source (doc_dup_clusters / doc_leak_split)
+# compute the graph-build + CC pipeline ONCE per driver pass (ADVICE r04)
+_CLUSTER_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _cluster_table(pairs_fn, sf_dir: str, tag: str):
+    """Run ``stages/dedup.dup_clusters`` on ``pairs_fn()`` and return the
     cluster table as (sorted endpoint ids, aligned representatives) — the
-    duplicated subset only, small by construction."""
+    duplicated subset only, small by construction.  ``pairs_fn`` is a thunk
+    so a cache hit skips even the pair-source construction (minhash
+    signature stages run at call time).  Memoized per (sf_dir, tag); the
+    throwaway layout dir carries the PID so concurrent driver/pytest
+    processes never rmtree each other's mid-read layout (ADVICE r04), and
+    is deleted once the table is collected."""
+    import shutil
+
     from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import dup_clusters
 
+    key = (os.path.abspath(sf_dir), tag)
+    if key in _CLUSTER_CACHE:
+        return _CLUSTER_CACHE[key]
+    pairs = pairs_fn()
     work = os.path.join(
         tempfile.gettempdir(), "graft_layouts",
-        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_") + tag)
-    clus = dup_clusters(pairs, work).to_pandas()
+        os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+        + f"{tag}_pid{os.getpid()}")
+    try:
+        clus = dup_clusters(pairs, work).to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     ids = clus["doc_id"].to_numpy().astype(np.int64)
     order = np.argsort(ids)
-    return ids[order], clus["cluster_id"].to_numpy().astype(np.int64)[order]
+    _CLUSTER_CACHE[key] = (
+        ids[order], clus["cluster_id"].to_numpy().astype(np.int64)[order])
+    return _CLUSTER_CACHE[key]
 
 
-def _cluster_assign(all_ids_ds, id_col: str, pairs, sf_dir: str, tag: str):
+def _cluster_assign(all_ids_ds, id_col: str, pairs_fn, sf_dir: str, tag: str):
     """Shared tail of the *_dup_clusters queries: give EVERY row its cluster
     id (itself when unpaired) + ``keep = id == cluster_id`` via one
     broadcast ``cluster_lookup`` per block."""
@@ -672,7 +695,7 @@ def _cluster_assign(all_ids_ds, id_col: str, pairs, sf_dir: str, tag: str):
         cluster_lookup,
     )
 
-    ref = ray.put(_cluster_table(pairs, sf_dir, tag))
+    ref = ray.put(_cluster_table(pairs_fn, sf_dir, tag))
 
     def assign(batch: pa.Table) -> pa.Table:
         ids_s, labs = ray.get(ref)
@@ -701,8 +724,10 @@ def _q_doc_dup_clusters(sf_dir: str):
         minhash_lsh_pairs,
     )
 
-    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
-    return _cluster_assign(_docs(sf_dir), "doc_id", pairs, sf_dir, "_dupc")
+    return _cluster_assign(
+        _docs(sf_dir), "doc_id",
+        lambda: minhash_lsh_pairs(_docs(sf_dir), threshold=0.5),
+        sf_dir, "_dupc")
 
 
 def _q_doc_leak_split(sf_dir: str):
@@ -720,8 +745,10 @@ def _q_doc_leak_split(sf_dir: str):
         leakage_safe_split,
     )
 
-    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
-    ids, labels = _cluster_table(pairs, sf_dir, "_dups")
+    # same pair source as _q_doc_dup_clusters => same memoized cluster table
+    ids, labels = _cluster_table(
+        lambda: minhash_lsh_pairs(_docs(sf_dir), threshold=0.5),
+        sf_dir, "_dupc")
     out = leakage_safe_split(
         _docs(sf_dir), "doc_id", ids, labels, val_ppm=100_000,
     ).to_pandas()
@@ -737,11 +764,13 @@ def _q_emb_dup_clusters(sf_dir: str):
         near_dup_cosine,
     )
 
-    prs = near_dup_cosine(_emb(sf_dir), tau=0.45, dtype=np.float64)
-    pairs = prs.map_batches(
-        lambda t: pa.table({"a": t["a"], "b": t["b"]}),
-        batch_format="pyarrow")
-    return _cluster_assign(_emb(sf_dir), "vec_id", pairs, sf_dir, "_dupe")
+    def pairs_fn():
+        prs = near_dup_cosine(_emb(sf_dir), tau=0.45, dtype=np.float64)
+        return prs.map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"]}),
+            batch_format="pyarrow")
+
+    return _cluster_assign(_emb(sf_dir), "vec_id", pairs_fn, sf_dir, "_dupe")
 
 
 def _q_doc_simhash_pairs(sf_dir: str):

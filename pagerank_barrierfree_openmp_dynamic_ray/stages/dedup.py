@@ -778,15 +778,42 @@ def dup_clusters(pairs, workdir: str, num_partitions: int = 4,
         le.shutdown()
 
     # vid -> doc id is index -> value in the sorted endpoint array (monotone
-    # remap), so labels translate by one broadcast lookup per block
-    vals = vertices.sort("vid").to_pandas()["url"].to_numpy()
-    ref = ray.put(np.ascontiguousarray(vals.astype(np.int64)))
+    # remap).  Gated like edges_to_vids: under the broadcast limit the array
+    # ships once by ray.put; beyond it the vertex table never touches the
+    # driver — two distributed lookup joins (vid, then label) against the
+    # hash-split vertex table resolve both endpoints of every row.
+    from .graph_build import BROADCAST_VERTEX_LIMIT
 
-    def back(batch: pa.Table) -> pa.Table:
-        v = ray.get(ref)
-        vid = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"doc_id": pa.array(v[vid]),
-                         "cluster_id": pa.array(v[lab])})
+    labels = labels_dataset(ck)
+    if n <= BROADCAST_VERTEX_LIMIT:
+        vals = vertices.sort("vid").to_pandas()["url"].to_numpy()
+        ref = ray.put(np.ascontiguousarray(vals.astype(np.int64)))
 
-    return labels_dataset(ck).map_batches(back, batch_format="pyarrow")
+        def back(batch: pa.Table) -> pa.Table:
+            v = ray.get(ref)
+            vid = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"doc_id": pa.array(v[vid]),
+                             "cluster_id": pa.array(v[lab])})
+
+        return labels.map_batches(back, batch_format="pyarrow")
+
+    nparts = max(num_partitions, int(ray.cluster_resources().get("CPU", 8)))
+    vparts = partition_side_table(vertices, key_col="vid",
+                                  num_partitions=nparts)
+    with_doc = _lookup_join(labels, vparts, pair_col="vid",
+                            value_col="url", out_col="doc_id",
+                            keep=["vid", "label"], num_partitions=nparts,
+                            side_key="vid")
+    with_cluster = _lookup_join(with_doc, vparts, pair_col="label",
+                                value_col="url", out_col="cluster_id",
+                                keep=["doc_id", "label"],
+                                num_partitions=nparts, side_key="vid")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "cluster_id": batch["cluster_id"].cast(pa.int64()),
+        })
+
+    return with_cluster.map_batches(project, batch_format="pyarrow")

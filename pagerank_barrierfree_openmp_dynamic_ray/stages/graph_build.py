@@ -524,6 +524,10 @@ def build_graph(
                     and existing.weighted == ("w" in (edges.schema().names or []))
                     and (n_vertices is None or existing.n_vertices == int(n_vertices))
                 ):
+                    # let callers (tools/scale_proof.py) distinguish a
+                    # validated resume from a fresh build without guessing
+                    # from wall-clock (ADVICE r04)
+                    existing.resumed_from_disk = True
                     return existing
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)

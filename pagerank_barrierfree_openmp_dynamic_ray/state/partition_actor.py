@@ -341,6 +341,16 @@ class CsrPartitionActor:
         self.pid = pid
         self.csr: CsrPartition | None = None
 
+    def _require_csr(self) -> None:
+        """Lazy-init protocol guard (ADVICE r04): every non-``ready`` entry
+        point needs the CSR built first; a stray call on a fresh actor gets
+        a clear error instead of an opaque ``None`` dereference."""
+        if self.csr is None:
+            raise RuntimeError(
+                "CsrPartitionActor: call ready() before any other method — "
+                "CSR init is deferred so engines can stagger the build "
+                "waves (init_wave) and bound per-node init memory")
+
     # -------------------------------------------------- initialization
     def ready(self) -> int:
         if self.csr is None:
@@ -360,6 +370,7 @@ class CsrPartitionActor:
         element type (the reference's TYPE compile flag) — "float32" halves
         the bytes each contribution shard ships per sweep (the kernel is
         bandwidth-bound), at ~1e-6 rank precision."""
+        self._require_csr()
         dt = np.dtype(dtype)
         if self.r.dtype != dt:
             self.r = np.zeros(self.csr.n_owned, dtype=dt)
@@ -380,6 +391,7 @@ class CsrPartitionActor:
     def set_frontier_mode(self, on: bool) -> None:
         """on=False -> every vertex affected every sweep (static/naive);
         on=True -> only ``vaff`` vertices sweep (dynamic frontier)."""
+        self._require_csr()
         self.frontier_mode = on
         self.vaff[:] = False
 
@@ -390,6 +402,7 @@ class CsrPartitionActor:
     def out_neighbors_of(self, vids: np.ndarray) -> np.ndarray:
         """Global out-neighbors of the given OWNED vids (frontier seeding:
         out-edges of batch endpoints, `src/pagerank.hxx:386-391`)."""
+        self._require_csr()
         sel = np.asarray(vids, dtype=np.int64) // self.csr.num_partitions
         sel = np.unique(sel)
         sel = sel[self.csr.out_indptr[sel + 1] > self.csr.out_indptr[sel]]
@@ -399,6 +412,7 @@ class CsrPartitionActor:
         """Contribution shard c[v] = r[v]/outdeg[v] for owned slots — what
         other partitions read (the owner publishes rank/deg so degree never
         ships: `src/pagerank.hxx:208-210` reads xt.vertexValue(u) locally)."""
+        self._require_csr()
         out = np.zeros_like(self.r)
         nz = self.csr.outdeg > 0
         out[nz] = self.r[nz] / self.csr.outdeg[nz]

@@ -558,3 +558,30 @@ def test_dup_clusters_join_scale_path(ray_session, tmp_path, monkeypatch):
     # one component {5, 17, 901, 2**40} -> representative 5
     assert got["doc_id"].tolist() == [5, 17, 901, 2**40]
     assert (got["cluster_id"] == 5).all()
+
+
+def test_dup_clusters_distributed_mapback(ray_session, tmp_path, monkeypatch):
+    """Force the scale path (vertex table never touches the driver): patch
+    BROADCAST_VERTEX_LIMIT to 0 so the vid/label mapback runs through the
+    two distributed lookup joins, and check it equals the broadcast path."""
+    import pandas as pd
+    import ray.data as rd
+
+    import pagerank_barrierfree_openmp_dynamic_ray.stages.graph_build as gb
+    from pagerank_barrierfree_openmp_dynamic_ray.stages.dedup import dup_clusters
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 500, 300).astype(np.int64)
+    b = rng.integers(0, 500, 300).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pairs = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+
+    exp = (dup_clusters(pairs, str(tmp_path / "bc"), num_partitions=2,
+                        num_cpus_per_actor=0.25)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(gb, "BROADCAST_VERTEX_LIMIT", 0)
+    got = (dup_clusters(pairs, str(tmp_path / "dist"), num_partitions=2,
+                        num_cpus_per_actor=0.25)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)

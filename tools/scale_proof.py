@@ -257,7 +257,10 @@ def main() -> None:
                           symmetric=True,  # mirrored by construction
                           overwrite=not args.resume)
         dt = time.perf_counter() - t0
-        resumed = args.resume and dt < 300  # a real 1e9 build takes >300 s
+        # build_graph marks a validated resume explicitly — no wall-clock
+        # guessing (ADVICE r04: a fast fresh build or an in-wave throttled
+        # validation would both be misclassified by a time heuristic)
+        resumed = bool(getattr(lay, "resumed_from_disk", False))
         result["build"] = {
             # a resumed run only VALIDATES the existing layout: wall_s /
             # edges_per_s are nulled so no consumer aggregates a fabricated
