@@ -103,11 +103,17 @@ _SHARED_CACHE = TokenHashCache()
 
 def shingle_hashes(text: str, k: int = 3, cache: TokenHashCache | None = None) -> np.ndarray:
     """Hashes of word k-shingles (the MinHash item set).  Texts shorter than
-    k tokens contribute their single full-token-sequence hash."""
+    k tokens contribute their single full-token-sequence hash.  Token hashes
+    are the vectorized FNV polynomial (:func:`stable_hash_strings`) so this
+    per-doc path and :func:`shingle_hashes_batch` produce IDENTICAL sets;
+    ``cache`` is accepted for backward compatibility and ignored (the
+    vectorized hash made the per-token memo obsolete)."""
+    import pyarrow as pa
+
     toks = TOKEN_RE.findall(text)
-    th = (cache or _SHARED_CACHE).hash_tokens(toks)
-    if len(th) == 0:
+    if not toks:
         return np.array([0], dtype=np.uint64)
+    th = stable_hash_strings(pa.array(toks, pa.string()))
     if len(th) < k:
         th = np.pad(th, (0, k - len(th)))
     with np.errstate(over="ignore"):
@@ -115,6 +121,73 @@ def shingle_hashes(text: str, k: int = 3, cache: TokenHashCache | None = None) -
         for i in range(k):
             out = out * np.uint64(1099511628211) + th[i: len(th) - k + 1 + i]
     return np.unique(out)
+
+
+def shingle_hashes_batch(arr, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-k-shingle hashes for a WHOLE Arrow string array —
+    the batch form of :func:`shingle_hashes` (identical per-doc sets).
+
+    One Arrow ``utf8_split_whitespace`` tokenizes every doc, ONE
+    :func:`stable_hash_strings` call hashes the flattened token stream, and
+    the k-gram rolling combine + per-doc distinct run as flat numpy over
+    doc-offset segments — no Python loop over documents (ADVICE r04: this
+    was the hottest Python-level loop left in the engine).
+
+    Returns ``(values, offsets)``: doc ``i``'s sorted distinct shingle
+    hashes are ``values[offsets[i]:offsets[i+1]]``; docs with no tokens get
+    the single hash 0, exactly like the per-doc path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(a)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    toks = pc.utf8_split_whitespace(a)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    tv = toks.values
+    # Arrow's split keeps EMPTY tokens at leading/trailing/double whitespace
+    # (Python's \S+ does not) — drop them before hashing
+    voffs = np.frombuffer(
+        tv.buffers()[1],
+        dtype=np.int64 if pa.types.is_large_string(tv.type) else np.int32,
+    )[tv.offset: tv.offset + len(tv) + 1].astype(np.int64)
+    nonempty = (voffs[1:] - voffs[:-1]) > 0
+    L_raw = offs[1:] - offs[:-1]
+    tok_doc = np.repeat(np.arange(n, dtype=np.int64), L_raw)[nonempty]
+    th_all = stable_hash_strings(tv)[nonempty]
+    L = np.bincount(tok_doc, minlength=n)
+    offs = np.concatenate([[0], np.cumsum(L)]).astype(np.int64)
+    # pad every doc to max(L, k) with zero-hashes: len<k docs contribute one
+    # padded full-sequence shingle, empty docs the single hash 0 — the exact
+    # per-doc semantics, uniformly vectorized
+    Lp = np.maximum(L, k)
+    Tp = int(Lp.sum())
+    starts_p = np.concatenate([[0], np.cumsum(Lp)[:-1]])
+    pos = np.arange(Tp, dtype=np.int64) - np.repeat(starts_p, Lp)
+    valid = pos < np.repeat(L, Lp)
+    thp = np.zeros(Tp, np.uint64)
+    thp[valid] = th_all[(np.repeat(offs[:-1], Lp) + pos)[valid]]
+    ns = Lp - k + 1  # shingles per doc (>= 1 by construction)
+    S = int(ns.sum())
+    sh_local = np.arange(S, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(ns)[:-1]]), ns)
+    base = np.repeat(starts_p, ns) + sh_local
+    out = np.zeros(S, np.uint64)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            out = out * prime + thp[base + i]
+    # per-doc sorted distinct via one lexsort + run detection
+    doc = np.repeat(np.arange(n, dtype=np.int64), ns)
+    order = np.lexsort((out, doc))
+    o, dd = out[order], doc[order]
+    keep = np.ones(S, dtype=bool)
+    keep[1:] = (dd[1:] != dd[:-1]) | (o[1:] != o[:-1])
+    counts = np.bincount(dd[keep], minlength=n)
+    return o[keep], np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
 
 class MinHasher:
@@ -145,6 +218,36 @@ class MinHasher:
             np.uint64,
             bands,
         )
+
+    def signature_batch(self, vals: np.ndarray,
+                        offsets: np.ndarray) -> np.ndarray:
+        """Signatures for MANY docs at once: ``(vals, offsets)`` is the
+        :func:`shingle_hashes_batch` layout.  One (S, num_perm) permute
+        matrix + ``minimum.reduceat`` over the doc segments — bit-identical
+        to per-doc :meth:`signature` (every doc has >= 1 shingle, so the
+        reduceat segments are all non-empty)."""
+        with np.errstate(over="ignore"):
+            h = (vals[:, None] * self.a[None, :] + self.b[None, :]) % _P61
+        return np.minimum.reduceat(h, offsets[:-1], axis=0).astype(np.uint64)
+
+    def band_keys_batch(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """(n, bands) bucket keys for a signature matrix — the FNV byte
+        polynomial of each band's ``r`` signature rows, fully vectorized
+        (identical signatures => identical keys; only BUCKETING depends on
+        the key function, and every candidate is exact-verified downstream,
+        so this differs from per-doc md5 ``band_keys`` by design)."""
+        n = len(sigs)
+        r = self.num_perm // bands
+        rec = (np.ascontiguousarray(sigs, dtype="<u8")
+               .view(np.uint8).reshape(n * bands, 8 * r).astype(np.uint64))
+        powers = np.ones(8 * r, np.uint64)
+        with np.errstate(over="ignore"):
+            if 8 * r > 1:
+                np.multiply.accumulate(
+                    np.full(8 * r - 1, _FNV_PRIME, np.uint64), out=powers[1:])
+            keys = (rec * powers[None, :]).sum(
+                axis=1, dtype=np.uint64) * _FNV_PRIME
+        return keys.reshape(n, bands) ^ np.uint64(8 * r)
 
 
 def simhash64(text: str, cache: TokenHashCache | None = None) -> np.uint64:

@@ -11,8 +11,8 @@ shuffle touches the 100-TB train side at all; it streams through one
 stateless-per-batch actor pool.  A size gate refuses benchmark sets too big
 to broadcast instead of silently OOMing the workers.
 
-Shingles are the same md5-rolled word k-gram hashes the MinHash family uses
-(``functions/hashing.shingle_hashes``): distinct-overlap counts computed on
+Shingles are the same FNV-rolled word k-gram hashes the MinHash family uses
+(``functions/hashing.shingle_hashes_batch``): distinct-overlap counts computed on
 the 64-bit hashes equal string-level counts absent collisions (~1e-13 per
 doc at 10k shingles) — the same documented trade as `textstats.repetition_batch`.
 """
@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import shingle_hashes
+from ..functions.hashing import shingle_hashes_batch
 
 # refuse to broadcast beyond ~2 GiB of shingle hashes (2.7e8 uint64): a
 # benchmark set bigger than this is not a benchmark set, it is a second
@@ -39,10 +39,8 @@ def benchmark_shingles(bench_docs, k: int = 3,
     import ray
 
     def block_hashes(batch: pa.Table) -> pa.Table:
-        hs = [shingle_hashes(t, k) for t in batch["text"].to_pylist()]
-        u = (np.unique(np.concatenate(hs)) if hs
-             else np.empty(0, np.uint64))
-        return pa.table({"h": pa.array(u)})
+        vals, _ = shingle_hashes_batch(batch["text"], k)
+        return pa.table({"h": pa.array(np.unique(vals))})
 
     parts = bench_docs.map_batches(
         block_hashes, batch_format="pyarrow").materialize()
@@ -66,25 +64,23 @@ class ContaminationStage:
     def __init__(self, bench_ref, k: int = 3):
         import ray
 
-        from ..functions.hashing import TokenHashCache
-
         self.bench = ray.get(bench_ref)
         self.k = k
-        self.cache = TokenHashCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = len(texts)
-        n_sh = np.zeros(n, np.int64)
-        n_hit = np.zeros(n, np.int64)
+        vals, offs = shingle_hashes_batch(batch["text"], self.k)
+        n = batch.num_rows
+        n_sh = offs[1:] - offs[:-1]
         bench = self.bench
-        for i, t in enumerate(texts):
-            sh = shingle_hashes(t, self.k, self.cache)
-            n_sh[i] = len(sh)
-            if len(bench):
-                pos = np.searchsorted(bench, sh)
-                pos[pos == len(bench)] = 0
-                n_hit[i] = int(np.count_nonzero(bench[pos] == sh))
+        if len(bench) and len(vals):
+            # ONE searchsorted over the whole batch's shingle stream, hit
+            # counts folded per doc segment (no per-doc Python loop)
+            pos = np.searchsorted(bench, vals)
+            pos[pos == len(bench)] = 0
+            hits = (bench[pos] == vals).astype(np.int64)
+            n_hit = np.add.reduceat(hits, offs[:-1])
+        else:
+            n_hit = np.zeros(n, np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

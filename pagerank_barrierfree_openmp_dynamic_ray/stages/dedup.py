@@ -128,32 +128,30 @@ def exact_dedup_keep_first(docs, num_partitions: int = 32,
 # ---------------------------------------------------------------------------
 
 class MinHashStage:
-    """Stateful stage: permutation parameters + compiled tokenizer built once
-    per actor (`__init__`), signatures per batch (`__call__`)."""
+    """Stateful stage: permutation parameters built once per actor
+    (`__init__`); the whole batch is shingled, signed and band-keyed by
+    three vectorized kernels per `__call__` — no Python loop over docs
+    (ADVICE r04 closed the last per-doc shingle loop)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
-        from ..functions.hashing import TokenHashCache
-
         self.mh = MinHasher(num_perm)
         self.bands = bands
         self.k = shingle_k
-        self.cache = TokenHashCache()  # per-actor memo, built once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        out_band, out_key, out_id = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.mh.signature(shingle_hashes(t, self.k, self.cache))
-            keys = self.mh.band_keys(sig, self.bands)
-            out_band.append(np.arange(self.bands, dtype=np.int32))
-            out_key.append(keys)
-            out_id.append(np.full(self.bands, i, dtype=np.int64))
+        from ..functions.hashing import shingle_hashes_batch
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, offs = shingle_hashes_batch(batch["text"], self.k)
+        sigs = self.mh.signature_batch(vals, offs)
+        keys = self.mh.band_keys_batch(sigs, self.bands)
+        n = len(ids)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(out_band)),
-                "key": pa.array(np.concatenate(out_key)),
-                "doc_id": pa.array(np.concatenate(out_id)),
+                "band": pa.array(np.tile(
+                    np.arange(self.bands, dtype=np.int32), n)),
+                "key": pa.array(keys.ravel()),
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
             }
         )
 
@@ -362,14 +360,18 @@ def minhash_lsh_pairs(docs, threshold: float = 0.7, num_perm: int = 64,
     # binary-encoded (raw uint64 bytes) because Arrow hash joins carry
     # binary payloads but not list<> payloads
     def to_shingles(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import shingle_hashes_batch
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sh = [shingle_hashes(t, shingle_k) for t in batch["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids.astype(np.int64)),
-                "sh": pa.array([s.tobytes() for s in sh], pa.binary()),
-            }
+        vals, offs = shingle_hashes_batch(batch["text"], shingle_k)
+        # zero-copy ragged->binary: one buffer, byte offsets = 8 * hash offs
+        sh = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(ids),
+            [None, pa.py_buffer((offs * 8).astype(np.int64)),
+             pa.py_buffer(np.ascontiguousarray(vals, dtype="<u8"))],
         )
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)), "sh": sh})
 
     # the side table is hash-partitioned ONCE into the object store; both
     # endpoint lookups fetch only their own partitions of it
@@ -472,13 +474,55 @@ def simhash_pairs(docs, max_hamming: int = 3, bands: int = 4, concurrency: int =
 # n-gram Jaccard (direct pair scoring)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(docs, threshold: float = 0.1, shingle_k: int = 3):
+# corpus rows above which ngram_jaccard_pairs refuses the full-store
+# broadcast and routes through LSH candidates (or refuses outright when the
+# threshold is too low for any sub-quadratic candidate scheme)
+NGRAM_BROADCAST_ROWS = 100_000
+
+
+def _lsh_params_for_threshold(threshold: float, miss: float = 1e-6,
+                              max_perm: int = 512) -> tuple[int, int]:
+    """(num_perm, bands) with per-pair miss probability (1-t^r)^b <= miss at
+    jaccard == threshold, preferring the LARGEST feasible rows-per-band r
+    (fewer false candidates) under the permutation budget."""
+    for r in range(8, 0, -1):
+        b = int(np.ceil(np.log(miss) / np.log1p(-threshold ** r)))
+        if r * b <= max_perm:
+            return r * b, b
+    raise ValueError(
+        f"ngram_jaccard_pairs: threshold {threshold} needs more than "
+        f"{max_perm} minhash permutations for miss <= {miss}; no feasible "
+        "sub-quadratic candidate scheme — use the broadcast path on a "
+        "pre-filtered subset, or raise the threshold")
+
+
+def ngram_jaccard_pairs(docs, threshold: float = 0.1, shingle_k: int = 3,
+                        broadcast_rows: int = NGRAM_BROADCAST_ROWS):
     """(a, b, jaccard) for all pairs with exact n-gram Jaccard >= threshold.
 
-    The shingle store for the candidate set is broadcast once (``ray.put``);
-    each batch scores its own rows against the full set — the same
-    broadcast-small-side shape as similarity.near_dup_cosine.  Use on small /
-    pre-filtered candidate sets; minhash_lsh_pairs is the scale path."""
+    Up to ``broadcast_rows`` docs the shingle store is broadcast once
+    (``ray.put``) and each batch scores its rows against the full set — the
+    broadcast-small-side shape of similarity.near_dup_cosine.  BEYOND the
+    gate the full store never broadcasts: candidates come from
+    :func:`minhash_lsh_pairs` with banding solved for a <= 1e-6 per-pair
+    miss at the threshold, and its verify stage IS the same exact scorer —
+    identical output modulo that documented miss bound.  Thresholds below
+    0.2 are refused at scale: every (r, b) banding either blows the
+    permutation budget or admits nearly all pairs as candidates (LSH is
+    sub-quadratic only when the threshold separates), so a low-threshold
+    all-pairs scan must stay an explicit small-set operation."""
+    n_docs = docs.count()
+    if n_docs > broadcast_rows:
+        if threshold < 0.2:
+            raise ValueError(
+                f"ngram_jaccard_pairs: {n_docs} docs > broadcast gate "
+                f"{broadcast_rows} and threshold {threshold} < 0.2 — no "
+                "sub-quadratic plan exists at this threshold; pre-filter "
+                "the candidate set or raise the threshold")
+        num_perm, bands = _lsh_params_for_threshold(threshold)
+        return minhash_lsh_pairs(docs, threshold=threshold,
+                                 num_perm=num_perm, bands=bands,
+                                 shingle_k=shingle_k)
     pdf = docs.select_columns(["doc_id", "text"]).to_pandas()
     store = {int(i): shingle_hashes(t, shingle_k)
              for i, t in zip(pdf["doc_id"], pdf["text"])}

@@ -178,19 +178,44 @@ def lsh_topk(embeddings, queries: np.ndarray, k: int = 10, bits: int = 6,
     return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
 
 
+# parquet bytes above which k-means training re-reads the lineage per round
+# instead of pinning the whole corpus in the object store for 10 iterations
+# (the pin is pure spill pressure at 100-TB embedding scale; re-reading
+# streams with backpressure and touches only the two needed columns)
+PIN_CORPUS_LIMIT = 8 << 30
+
+
 def kmeans_centroids_distributed(embeddings, n_centroids: int,
-                                 iters: int = 10) -> np.ndarray:
+                                 iters: int = 10,
+                                 pin_corpus: bool | None = None) -> np.ndarray:
     """Distributed Lloyd's k-means over the FULL corpus — the IVF codebook
     scale path.  Each round broadcasts the k×d centroid matrix once
     (``ray.put``), every batch emits per-centroid (sum-vector, count)
     partials, and the driver folds the tiny partials into new centroids.
     Only k×d floats ever exist on the driver; the corpus streams.
     Deterministic: seeded by the first k corpus rows, fixed iteration count.
-    """
+
+    ``pin_corpus``: True pins the corpus blocks once and reuses them every
+    round (fastest when it fits); False re-executes the read lineage per
+    round (no object-store pin — the 100-TB default); None decides by the
+    input's parquet bytes vs ``PIN_CORPUS_LIMIT`` (metadata only, never
+    executes the plan; non-file datasets already live in the object store
+    and pin for free)."""
+    import os as _os
+
     pdf0 = embeddings.limit(n_centroids).to_pandas()
     c = _normalize(np.vstack(pdf0["embedding"].to_numpy()).astype(np.float32))
     k, d = c.shape
-    corpus = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    corpus = embeddings.select_columns(["vec_id", "embedding"])
+    if pin_corpus is None:
+        try:
+            files = embeddings.input_files() or []
+            est = sum(_os.path.getsize(f) for f in files)
+            pin_corpus = est <= PIN_CORPUS_LIMIT
+        except Exception:
+            pin_corpus = True  # in-memory source: blocks are already pinned
+    if pin_corpus:
+        corpus = corpus.materialize()
     for _ in range(iters):
         cref = ray.put(c)
 

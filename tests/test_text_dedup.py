@@ -585,3 +585,59 @@ def test_dup_clusters_distributed_mapback(ray_session, tmp_path, monkeypatch):
                         num_cpus_per_actor=0.25)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_kmeans_unpinned_matches_pinned(ray_session, tmp_path):
+    """pin_corpus=False (per-round lineage re-read, no object-store pin)
+    trains the same codebook as the pinned path."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    n, d = 400, 16
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(rng.normal(size=(n, d)).astype(np.float32))),
+    })
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tab, path)
+    ds = rd.read_parquet(path)
+    pinned = similarity.kmeans_centroids_distributed(ds, 8, pin_corpus=True)
+    streamed = similarity.kmeans_centroids_distributed(ds, 8, pin_corpus=False)
+    np.testing.assert_allclose(streamed, pinned, rtol=0, atol=1e-6)
+    # auto gate: tiny parquet pins; a forced 0-byte limit streams
+    import pagerank_barrierfree_openmp_dynamic_ray.stages.similarity as sim
+    old = sim.PIN_CORPUS_LIMIT
+    try:
+        sim.PIN_CORPUS_LIMIT = 0
+        auto = similarity.kmeans_centroids_distributed(ds, 8)
+    finally:
+        sim.PIN_CORPUS_LIMIT = old
+    np.testing.assert_allclose(auto, pinned, rtol=0, atol=1e-6)
+
+
+def test_ngram_jaccard_scale_path_matches_exact(ray_session):
+    """broadcast_rows=0 forces the LSH-candidate route; with banding solved
+    for <=1e-6 miss at the threshold it returns the exact pair set."""
+    import ray.data as rd
+
+    texts = []
+    for i in range(40):
+        base = " ".join(f"w{i}t{j}" for j in range(30))
+        texts.append(base)
+        if i % 4 == 0:  # planted near-dup: ~90% shingle overlap
+            texts.append(base + " extra tail tokens here")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+    got = (dedup.ngram_jaccard_pairs(ds, threshold=0.5, broadcast_rows=0)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    exp = (dedup.ngram_jaccard_pairs(ds, threshold=0.5)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert got[["a", "b"]].values.tolist() == exp[["a", "b"]].values.tolist()
+    np.testing.assert_allclose(got["jaccard"], exp["jaccard"], atol=1e-12)
+    assert len(exp) >= 10  # the planted dups actually paired
+
+    with pytest.raises(ValueError, match="no sub-quadratic plan"):
+        dedup.ngram_jaccard_pairs(ds, threshold=0.05, broadcast_rows=0)
