@@ -209,6 +209,11 @@ class CsrPartition:
     _CACHE_VERSION = 2
 
     def _save_cache(self, layout_path: str, n_edges_expected: int) -> None:
+        if os.environ.get("GRAFT_CSR_NO_CACHE"):
+            # Opt-out for disk-constrained one-shot runs (the npz caches cost
+            # ~45% of the layout's footprint at billion-edge scale); every
+            # engine start then repays the parquet read + lexsort.
+            return
         d = os.path.join(layout_path, "csr_cache")
         os.makedirs(d, exist_ok=True)
         f = os.path.join(d, f"part-{self.pid}.npz")

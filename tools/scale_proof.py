@@ -210,6 +210,14 @@ def main() -> None:
                     "2k * vertices)")
     ap.add_argument("--ring-k", type=int, default=10)
     ap.add_argument("--ring-segment", type=int, default=256)
+    ap.add_argument("--init-wave", type=int, default=8,
+                    help="concurrent first-time CSR builds per engine init "
+                    "(8 fit 1.05B edges in 125 GiB; the 2B run needs 4 — "
+                    "the last wave's lexsort transients stack on top of "
+                    "every already-pinned partition)")
+    ap.add_argument("--skip-cc", action="store_true",
+                    help="skip the connected-components stage (bounds wall "
+                    "time when the PR proof is the object)")
     args = ap.parse_args()
 
     import ray
@@ -283,7 +291,8 @@ def main() -> None:
         # init_wave=8: cap concurrent first-time CSR builds — un-staggered,
         # 32 simultaneous lexsort+gather-plan builds (~3 GB transient each)
         # OOM-killed an actor at this scale on the first attempt
-        eng = PageRankEngine(lay, num_cpus_per_actor=0.9, init_wave=8)
+        eng = PageRankEngine(lay, num_cpus_per_actor=0.9,
+                             init_wave=args.init_wave)
         init_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = eng.run(mode="barrier")
@@ -328,7 +337,8 @@ def main() -> None:
             apply_s = time.perf_counter() - t0
             _ray_recycle(result, "batch_apply")
             t0 = time.perf_counter()
-            eng2 = PageRankEngine(new, num_cpus_per_actor=0.9, init_wave=8)
+            eng2 = PageRankEngine(new, num_cpus_per_actor=0.9,
+                                  init_wave=args.init_wave)
             init2_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             rn = eng2.run(mode="barrier", q=warm)
@@ -363,19 +373,24 @@ def main() -> None:
             _ray_recycle(result, "dynamic_pr")
 
         # ---- connected components (layout is symmetric by construction) ----
-        t0 = time.perf_counter()
-        le = LabelEngine(lay, num_cpus_per_actor=0.9, init_wave=8)
-        le_init_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        cc = le.connected_components(collect=False)
-        dt = time.perf_counter() - t0
-        result["cc"] = {
-            "engine_init_s": round(le_init_s, 1), "wall_s": round(dt, 1),
-            "iterations": cc.iterations,
-            "sweep_edges_per_s": int(lay.n_edges * cc.iterations / dt),
-        }
-        print(json.dumps({"stage": "cc", **result["cc"]}), flush=True)
-        le.shutdown()
+        if args.skip_cc:
+            result["cc"] = {"skipped": True}
+            print(json.dumps({"stage": "cc", "skipped": True}), flush=True)
+        else:
+            t0 = time.perf_counter()
+            le = LabelEngine(lay, num_cpus_per_actor=0.9,
+                             init_wave=args.init_wave)
+            le_init_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            cc = le.connected_components(collect=False)
+            dt = time.perf_counter() - t0
+            result["cc"] = {
+                "engine_init_s": round(le_init_s, 1), "wall_s": round(dt, 1),
+                "iterations": cc.iterations,
+                "sweep_edges_per_s": int(lay.n_edges * cc.iterations / dt),
+            }
+            print(json.dumps({"stage": "cc", **result["cc"]}), flush=True)
+            le.shutdown()
     finally:
         stop.set()
         t.join(timeout=5)
