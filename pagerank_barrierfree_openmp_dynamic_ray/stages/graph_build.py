@@ -409,6 +409,78 @@ def _write_partitioned(ds, path: str, key: str, num_partitions: int) -> None:
 
 
 @ray.remote
+def _dedup_degree_part_task(edges_out_dir: str, degrees_dir: str, p: int,
+                            weighted: bool) -> int:
+    """Partition-local exact dedup + degrees for ``edges_out/part=p``.
+
+    The layout write keys every edge by ``src % P``, so ALL copies of a
+    duplicate ``(src, dst)`` are already co-located in this directory —
+    dedup needs no shuffle at all, just one lexsort + consecutive-unique
+    mask per partition (the same transient the CSR build pays anyway).
+    Rewrites the partition as one deduped file, then computes degrees from
+    the deduped rows (``src`` is already sorted: a run-length pass).  This
+    is the scale path of :func:`build_graph` (``dedup_mode='partition_local'``):
+    the sort-based global dedup moves |E| rows through an all-to-all
+    exchange whose spill at 2×10⁹ edges exceeds a single node's disk —
+    here the ONLY all-to-all in the whole build disappears.  Weighted
+    edges sum their weights per (src, dst) segment (``src/mtx.hxx:68-72``
+    upsert semantics, aggregated by SUM as in :func:`dedup_edges_weighted`).
+    """
+    import pyarrow.parquet as pq
+
+    d = os.path.join(edges_out_dir, f"part={p}")
+    if not os.path.isdir(d):
+        return 0
+    cols = ["src", "dst"] + (["w"] if weighted else [])
+    t = pq.read_table(d, columns=cols)
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    w = (t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+         if weighted else None)
+    del t
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    if weighted:
+        w = w[order]
+    del order
+    keep = np.empty(len(src), dtype=bool)
+    if len(src):
+        keep[0] = True
+        np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
+    if weighted and len(src):
+        seg = np.cumsum(keep) - 1
+        w = np.bincount(seg, weights=w)
+        del seg
+    src, dst = src[keep], dst[keep]
+    n_kept = len(src)
+    del keep
+    tab = {"src": pa.array(src), "dst": pa.array(dst)}
+    if weighted:
+        tab["w"] = pa.array(w)
+    # replace the raw fragments with ONE deduped file (a crash mid-replace
+    # leaves a partial layout, which build_graph wipes and rebuilds — the
+    # lineage.json-written-last contract)
+    old = [os.path.join(d, f) for f in os.listdir(d)]
+    pq.write_table(pa.table(tab), os.path.join(d, "dedup.parquet"))
+    for f in old:
+        os.remove(f)
+    # degrees: src is sorted post-dedup, so unique+counts is a linear pass
+    if weighted:
+        vids, inv = np.unique(src, return_inverse=True)
+        deg = np.bincount(inv, weights=w, minlength=len(vids))
+    else:
+        vids, deg = np.unique(src, return_counts=True)
+        deg = deg.astype(np.int64)
+    out = os.path.join(degrees_dir, f"part={p}")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(
+        pa.table({"vid": pa.array(vids), "deg": pa.array(deg)}),
+        os.path.join(out, "data.parquet"),
+    )
+    return n_kept
+
+
+@ray.remote
 def _degree_part_task(edges_out_dir: str, degrees_dir: str, p: int,
                       weighted: bool) -> int:
     """Out-degrees of partition p computed ENTIRELY from edges_out/part=p
@@ -482,6 +554,7 @@ def build_graph(
     overwrite: bool = True,
     hot_in_threshold: int | None = None,
     symmetric: bool = False,
+    dedup_mode: str = "shuffle",
 ) -> GraphLayout:
     """Edge Dataset (src, dst uint64) -> persistent partitioned graph layout.
 
@@ -507,6 +580,16 @@ def build_graph(
     shuffle over |E| rows (measured: that pass alone spilled tens of GB at
     1e9 edges).  Correctness is unaffected either way; a false promise only
     mis-selects the hot set.
+
+    ``dedup_mode``: ``"shuffle"`` (default) runs the global hash(src,dst)%P
+    dedup exchange before the layout write; ``"partition_local"`` skips the
+    exchange entirely — the layout write already co-locates every copy of a
+    duplicate edge in ``edges_out/part=src%P``, so dedup becomes a
+    per-partition lexsort + consecutive-unique rewrite fused with the
+    degree pass (:func:`_dedup_degree_part_task`).  Identical layouts
+    (property-tested); the local mode makes the ENTIRE build shuffle-free,
+    which is what lets a 2×10⁹-edge build run with zero object-store spill
+    on one node (the sort exchange's spill at that scale exceeds the disk).
     """
     if os.path.isdir(out_dir):
         if not overwrite:
@@ -546,7 +629,44 @@ def build_graph(
         n_vertices = int(mx) + 1
 
     weighted = "w" in (edges.schema().names or [])
-    if add_loops:
+    if dedup_mode == "partition_local":
+        # Fully streaming, shuffle-free plan: per-batch combiner only — the
+        # exact dedup happens inside each edges_out/part=p AFTER the write
+        # (the write key co-locates all copies of a duplicate; see
+        # _dedup_degree_part_task).  Self-loop semantics match
+        # add_self_loops: drop existing loops, union the complete loop set.
+        stream = edges
+        if add_loops:
+            stream = stream.map_batches(
+                lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+                batch_format="pyarrow",
+            )
+        if weighted:
+            def combine_w(batch: pa.Table) -> pa.Table:
+                t = batch.select(["src", "dst", "w"]).group_by(
+                    ["src", "dst"]).aggregate([("w", "sum")]).select(
+                    ["src", "dst", "w_sum"]).rename_columns(
+                    ["src", "dst", "w"])
+                return t.cast(pa.schema([("src", pa.uint64()),
+                                         ("dst", pa.uint64()),
+                                         ("w", pa.float64())]))
+
+            stream = stream.map_batches(combine_w, batch_format="pyarrow")
+            if add_loops:
+                stream = stream.union(self_loop_table(n_vertices).map_batches(
+                    lambda t: t.append_column(
+                        "w", pa.array(np.ones(t.num_rows, np.float64))),
+                    batch_format="pyarrow",
+                ))
+        else:
+            stream = stream.map_batches(
+                lambda t: _cast_edges(_batch_distinct(t)),
+                batch_format="pyarrow",
+            )
+            if add_loops:
+                stream = stream.union(self_loop_table(n_vertices))
+        final = stream
+    elif add_loops:
         final = add_self_loops(edges, n_vertices, weighted=weighted)
     else:
         final = dedup_edges_weighted(edges) if weighted else dedup_edges(edges)
@@ -561,20 +681,31 @@ def build_graph(
 
     _write_partitioned(final, os.path.join(out_dir, "edges_out"), "src",
                        num_partitions)
-    cols = ["src", "dst"] + (["w"] if weighted else [])
-    final = rd.read_parquet(os.path.join(out_dir, "edges_out"), columns=cols)
 
     # Degrees + edge count in ONE zero-shuffle pass: edges_out is already
     # keyed by src % P, which is exactly the degrees partitioning, so each
     # partition aggregates locally (P raw tasks — Ray Data can't express a
     # partition-aligned aggregate without re-shuffling what is already
     # placed).  Replaces the old out_degrees shuffle + final.count() pass.
+    # In partition_local mode the same pass ALSO performs the exact dedup
+    # rewrite; its num_cpus is an admission throttle so only ~CPUs/4
+    # lexsort transients (~6x the partition's bytes) are in flight at once.
     eo_dir = os.path.join(out_dir, "edges_out")
     dg_dir = os.path.join(out_dir, "degrees")
-    n_edges = sum(ray.get([
-        _degree_part_task.remote(eo_dir, dg_dir, p, weighted)
-        for p in range(num_partitions)
-    ]))
+    if dedup_mode == "partition_local":
+        task_cpus = min(4.0, max(1.0, ray.cluster_resources().get("CPU", 4)))
+        n_edges = sum(ray.get([
+            _dedup_degree_part_task.options(num_cpus=task_cpus).remote(
+                eo_dir, dg_dir, p, weighted)
+            for p in range(num_partitions)
+        ]))
+    else:
+        n_edges = sum(ray.get([
+            _degree_part_task.remote(eo_dir, dg_dir, p, weighted)
+            for p in range(num_partitions)
+        ]))
+    cols = ["src", "dst"] + (["w"] if weighted else [])
+    final = rd.read_parquet(eo_dir, columns=cols)
 
     if hot_in_threshold is None:
         hot = np.empty(0, dtype=np.int64)

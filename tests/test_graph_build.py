@@ -145,3 +145,81 @@ def test_edges_to_vids_join_scale_path(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_like=True
     )
+
+
+def _layout_snapshot(layout):
+    """Canonical (edges_in, edges_out, degrees, meta) content of a layout."""
+    def pairs(which):
+        s, d = _read_layout_edges(layout, which)
+        return sorted(zip(s.tolist(), d.tolist()))
+
+    t = pq.read_table(layout.degrees)
+    degs = sorted(zip(t["vid"].to_numpy().tolist(), t["deg"].to_numpy().tolist()))
+    return (pairs("edges_in"), pairs("edges_out"), degs,
+            layout.n_edges, layout.n_vertices, layout.n_hot)
+
+
+def test_partition_local_dedup_matches_shuffle(ray_session, tmp_path):
+    # duplicates, self-loops, and a skewed key; both plans must produce
+    # byte-identical layout CONTENT (sets + degrees + counts)
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 40, 600)
+    dst = rng.integers(0, 40, 600)
+    ds = _edges_ds(np.concatenate([src, src[:300]]),
+                   np.concatenate([dst, dst[:300]]))
+    a = gb.build_graph(ds, str(tmp_path / "a"), num_partitions=3,
+                       n_vertices=40, dedup_mode="shuffle")
+    ds2 = _edges_ds(np.concatenate([src, src[:300]]),
+                    np.concatenate([dst, dst[:300]]))
+    b = gb.build_graph(ds2, str(tmp_path / "b"), num_partitions=3,
+                       n_vertices=40, dedup_mode="partition_local")
+    assert _layout_snapshot(a) == _layout_snapshot(b)
+
+
+def test_partition_local_dedup_weighted_sums(ray_session, tmp_path):
+    import ray.data as rd
+
+    def wds():
+        return rd.from_arrow(pa.table({
+            "src": pa.array(np.array([0, 0, 1, 2, 2, 2], np.uint64)),
+            "dst": pa.array(np.array([1, 1, 2, 0, 0, 2], np.uint64)),
+            "w": pa.array(np.array([1.0, 2.5, 1.0, 3.0, 4.0, 9.0])),
+        }))
+
+    a = gb.build_graph(wds(), str(tmp_path / "wa"), num_partitions=2,
+                       n_vertices=3, dedup_mode="shuffle")
+    b = gb.build_graph(wds(), str(tmp_path / "wb"), num_partitions=2,
+                       n_vertices=3, dedup_mode="partition_local")
+
+    def wmap(layout):
+        t = pq.read_table(layout.edges_in)
+        return {(int(s), int(d)): float(w) for s, d, w in
+                zip(t["src"].to_numpy(), t["dst"].to_numpy(),
+                    t["w"].to_numpy())}
+
+    wa, wb = wmap(a), wmap(b)
+    assert wa == wb
+    assert wa[(0, 1)] == 3.5          # duplicate weights summed
+    assert wa[(2, 2)] == 1.0          # existing loop replaced by unit loop
+    assert a.n_edges == b.n_edges
+
+
+def test_partition_local_hot_split_matches(ray_session, tmp_path):
+    # symmetric star graph: vertex 0 is hot; both plans must agree on the
+    # hot set and the edges_in / edges_in_hot split
+    n = 64
+    others = np.arange(1, n, dtype=np.uint64)
+    src = np.concatenate([np.zeros(n - 1, np.uint64), others])
+    dst = np.concatenate([others, np.zeros(n - 1, np.uint64)])
+    a = gb.build_graph(_edges_ds(src, dst), str(tmp_path / "ha"),
+                       num_partitions=4, n_vertices=n, symmetric=True,
+                       hot_in_threshold=32, dedup_mode="shuffle")
+    b = gb.build_graph(_edges_ds(src, dst), str(tmp_path / "hb"),
+                       num_partitions=4, n_vertices=n, symmetric=True,
+                       hot_in_threshold=32, dedup_mode="partition_local")
+    assert a.n_hot == b.n_hot == 1
+    assert _layout_snapshot(a) == _layout_snapshot(b)
+    sa, da = _read_layout_edges(a, "edges_in_hot")
+    sb, db = _read_layout_edges(b, "edges_in_hot")
+    assert sorted(zip(sa.tolist(), da.tolist())) == \
+        sorted(zip(sb.tolist(), db.tolist()))

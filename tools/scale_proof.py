@@ -215,6 +215,12 @@ def main() -> None:
                     "(8 fit 1.05B edges in 125 GiB; the 2B run needs 4 — "
                     "the last wave's lexsort transients stack on top of "
                     "every already-pinned partition)")
+    ap.add_argument("--dedup", choices=["shuffle", "local"], default="local",
+                    help="edge-dedup plan: 'shuffle' = global hash(src,dst)%%P "
+                    "exchange (the r4 proofs' path; its sort spill exceeds "
+                    "this node's disk past ~1.5e9 edges); 'local' = "
+                    "partition-local lexsort rewrite fused with the degree "
+                    "pass — the whole build becomes shuffle-free (default)")
     ap.add_argument("--skip-cc", action="store_true",
                     help="skip the connected-components stage (bounds wall "
                     "time when the PR proof is the object)")
@@ -263,7 +269,9 @@ def main() -> None:
                           n_vertices=args.vertices,
                           hot_in_threshold=args.hot_threshold,
                           symmetric=True,  # mirrored by construction
-                          overwrite=not args.resume)
+                          overwrite=not args.resume,
+                          dedup_mode={"shuffle": "shuffle",
+                                      "local": "partition_local"}[args.dedup])
         dt = time.perf_counter() - t0
         # build_graph marks a validated resume explicitly — no wall-clock
         # guessing (ADVICE r04: a fast fresh build or an in-wave throttled
@@ -275,6 +283,7 @@ def main() -> None:
             # throughput (see BASELINE.md for the real build measurement)
             "wall_s": None if resumed else round(dt, 1),
             "resumed": resumed,
+            "dedup": args.dedup,
             "n_edges": lay.n_edges,
             "n_hot": lay.n_hot,
             "edges_per_s": None if resumed else int(lay.n_edges / dt),
