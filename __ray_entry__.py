@@ -62,13 +62,14 @@ def _cached_layout(key: str, builder):
 
 
 def _i64(df):
-    """Normalize integer columns to int64 for the value-hash compare."""
+    """Normalize integer columns to int64 for the value-hash compare.
+    Returns a new frame (``astype`` copy) rather than mutating in place —
+    some callers pass column-slices of larger frames."""
     import pandas as pd
 
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df
+    conv = {c: "int64" for c in df.columns
+            if pd.api.types.is_integer_dtype(df[c])}
+    return df.astype(conv) if conv else df
 
 
 # ---------------------------------------------------------------------------
