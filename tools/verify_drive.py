@@ -35,12 +35,17 @@ assert (src == dst).sum() == lay.n_vertices, "self-loops != V"
 print(f"layout: V={lay.n_vertices} E={lay.n_edges} selfloops==V distinct==E OK")
 want, _ = oracle.pagerank_power(src, dst, lay.n_vertices)
 eng = PageRankEngine(lay, num_cpus_per_actor=0.9)
-for mode in ("barrier", "barrierfree"):
+# rank-sum tolerance: barrier is deterministic (~1e-15); barrier-free is
+# ASYNC — the library contract is 1e-6 (tests/test_pagerank.py:66), not
+# tighter: mid-sweep reads legitimately leave sub-1e-6 mass jitter.
+for mode, sum_tol in (("barrier", 1e-9), ("barrierfree", 1e-6)):
     rr = eng.run(mode=mode)
-    assert abs(rr.ranks.sum() - 1.0) < 1e-9, f"rank_sum {mode}"
+    dsum = abs(rr.ranks.sum() - 1.0)
+    assert dsum < sum_tol, f"rank_sum {mode}: |sum-1|={dsum:.2e}"
     linf = np.abs(rr.ranks - want).max()
     assert linf < 1e-6, f"{mode} vs oracle linf={linf}"
-    print(f"pagerank[{mode}]: iters={rr.iterations} linf_vs_oracle={linf:.2e} OK")
+    print(f"pagerank[{mode}]: iters={rr.iterations} "
+          f"linf_vs_oracle={linf:.2e} |sum-1|={dsum:.2e} OK")
 eng.shutdown()
 
 # 3) CC on a symmetric layout vs union-find oracle
