@@ -23,12 +23,36 @@ def entry_mod(ray_session):
     return importlib.import_module("__ray_entry__")
 
 
+# The round-5 surface the driver's correctness pass keys on.  Frozen on
+# purpose: renaming or dropping a query silently orphans its recorded
+# CORRECTNESS row, so any change here must be deliberate (add to this set
+# alongside the new queries()/oracle_sql() entries).
+FROZEN_QUERY_NAMES = frozenset("""
+    ann_ivf_top3 ann_lsh_top3 ann_top3 cc_components doc_chunks doc_decontam
+    doc_dedup_kept doc_dup_clusters doc_exact_dedup doc_fingerprint
+    doc_lang_id doc_leak_split doc_minhash_pairs doc_ngram_jaccard
+    doc_quality doc_redact doc_repetition doc_sample doc_simhash_pairs
+    doc_tfidf_top3 doc_token_counts doc_token_freq doc_top_by_lang
+    emb_dup_clusters emb_near_dup events_asof events_distinct_users
+    events_hll_users events_quantiles events_range events_sessions
+    events_sliding events_window lg_counts lg_degree lg_selfloops
+    lg_top_indegree lg_triangles lg_wdegree li_pruned_agg lp_labels
+    mm_audio_stats mm_frames mm_image_stats mtx_roundtrip oli_hash_join
+    orders_anti orders_semi pages_flagship pages_host_graph
+    pr_barrierfree_top20 pr_dead_top20 pr_dynamic_frontier_top20
+    pr_hot_split_top20 pr_top20 pr_weighted_top20 rev_by_nation
+""".split())
+
+
 def test_contract_shape(entry_mod):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert len(qs) >= 25
-    assert set(oracles) <= set(qs), "oracle keys must be query keys"
-    assert len(oracles) >= 14
+    assert set(qs) >= FROZEN_QUERY_NAMES, \
+        f"frozen queries missing: {sorted(FROZEN_QUERY_NAMES - set(qs))}"
+    assert set(qs) == FROZEN_QUERY_NAMES, \
+        f"new queries not in the frozen set: {sorted(set(qs) - FROZEN_QUERY_NAMES)}"
+    assert len(qs) == 57
+    assert set(oracles) == set(qs), "every query carries a DuckDB twin"
     for name, fn in qs.items():
         assert callable(fn), name
 
